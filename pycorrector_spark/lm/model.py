@@ -1,0 +1,354 @@
+"""Backoff character n-gram language model with a vectorized scorer.
+
+Re-expresses the KenLM query semantics the reference relies on
+(/root/reference/pycorrector/detector.py:268-284, tests/kenlm_test.py):
+
+- ``score(tokens, bos, eos)`` = sum of log10 P(w_i | longest seen context)
+  with ARPA backoff: unseen n-gram -> backoff_weight(context) + P(w | shorter).
+- ``perplexity(tokens)`` = 10 ** (-score(tokens, bos=True, eos=True) /
+  (len(tokens) + 1)) — the +1 counts </s> (kenlm full_scores yields len+1
+  entries, reference tests/kenlm_test.py:46-49).
+- the detector's windowed 2/3-gram scoring (detector.py:441-461) is computed
+  here via the algebraic identity
+      score(s[i:i+n], bos=False, eos=False)
+        = uni(s[i]) + cond2(s[i+1]) [+ cond3(s[i+2])]
+  which turns O(len * n) LM probes into three vectorized probe arrays.
+
+KenLM itself is unavailable in this environment, so the model is trained
+from the deterministic fixture corpus with absolute-discount backoff
+smoothing (Katz/ARPA style). Both the serial reference oracle and the
+Spark pandas-UDF stages score with THIS class, so their floats are
+bitwise identical by construction.
+
+Storage: flat sorted int64 key arrays + float64 value arrays, probed with
+``np.searchsorted`` — no per-row Python in the hot path; broadcast-friendly
+(a plain picklable object of numpy arrays).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+LOG10_EPS = -99.0  # ARPA convention for "effectively zero"
+DISCOUNT = 0.5     # absolute discount mass moved to backoff
+
+
+def _pack2(a, b, base):
+    return a * base + b
+
+
+def _pack3(a, b, c, base):
+    return (a * base + b) * base + c
+
+
+class CharNgramLM:
+    """Order-3 backoff char LM over int-encoded characters.
+
+    Special ids: unk=0, bos=1, eos=2; real chars start at 3.
+    """
+
+    def __init__(self, vocab, p1, bow1, keys2, p2, bow2, keys3, p3):
+        self.vocab = vocab                      # dict char -> id (>=3)
+        self.base = len(vocab) + 3
+        self.p1 = p1                            # float64 [base]
+        self.bow1 = bow1                        # float64 [base]
+        self.keys2 = keys2                      # sorted int64
+        self.p2 = p2
+        self.bow2 = bow2
+        self.keys3 = keys3                      # sorted int64
+        self.p3 = p3
+        # fast char->id for vectorized encode
+        max_cp = max((ord(c) for c in vocab), default=0)
+        self._cp_map = np.zeros(max_cp + 2, dtype=np.int32)  # default unk=0
+        for ch, i in vocab.items():
+            self._cp_map[ord(ch)] = i
+
+    # ---------------- encoding ----------------
+
+    def encode(self, text: str) -> np.ndarray:
+        """char ids (unk for OOV) as int64 array."""
+        if not text:
+            return np.empty(0, dtype=np.int64)
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        ids = np.where(cps < len(self._cp_map), self._cp_map[np.minimum(cps, len(self._cp_map) - 1)], 0)
+        return ids.astype(np.int64)
+
+    # ---------------- probes (vectorized) ----------------
+
+    def _probe(self, keys_sorted, values, query, default):
+        """values[query] where present else default. Fully vectorized."""
+        if len(keys_sorted) == 0:
+            return np.full(len(query), default, dtype=np.float64)
+        pos = np.searchsorted(keys_sorted, query)
+        pos_c = np.minimum(pos, len(keys_sorted) - 1)
+        hit = keys_sorted[pos_c] == query
+        out = np.where(hit, values[pos_c], default)
+        return out
+
+    def uni(self, w: np.ndarray) -> np.ndarray:
+        return self.p1[w]
+
+    def cond2(self, v: np.ndarray, w: np.ndarray) -> np.ndarray:
+        """log10 P(w | v) with backoff."""
+        q = _pack2(v, w, self.base)
+        p = self._probe(self.keys2, self.p2, q, np.nan)
+        backed = self.bow1[v] + self.p1[w]
+        return np.where(np.isnan(p), backed, p)
+
+    def cond3(self, u: np.ndarray, v: np.ndarray, w: np.ndarray) -> np.ndarray:
+        """log10 P(w | u v) with recursive backoff."""
+        q3 = _pack3(u, v, w, self.base)
+        p = self._probe(self.keys3, self.p3, q3, np.nan)
+        bow_uv = self._probe(self.keys2, self.bow2, _pack2(u, v, self.base), 0.0)
+        backed = bow_uv + self.cond2(v, w)
+        return np.where(np.isnan(p), backed, p)
+
+    # ---------------- kenlm-equivalent API ----------------
+
+    def score_ids(self, ids: np.ndarray, bos: bool, eos: bool) -> float:
+        """Sum of per-token conditional log10 probs (kenlm Model.score)."""
+        seq = ids
+        if bos:
+            seq = np.concatenate(([np.int64(1)], seq))
+        if eos:
+            seq = np.concatenate((seq, [np.int64(2)]))
+        start = 1 if bos else 0
+        n = len(seq)
+        if n - start <= 0:
+            return 0.0
+        total = 0.0
+        # position start scored with no context unless bos gave one
+        pos = np.arange(start, n)
+        # gather context ids
+        w = seq[pos]
+        v = np.where(pos - 1 >= 0, seq[np.maximum(pos - 1, 0)], -1)
+        u = np.where(pos - 2 >= 0, seq[np.maximum(pos - 2, 0)], -1)
+        out = np.empty(len(pos), dtype=np.float64)
+        m_uni = v < 0
+        m_bi = (~m_uni) & (u < 0)
+        m_tri = ~(m_uni | m_bi)
+        if m_uni.any():
+            out[m_uni] = self.uni(w[m_uni])
+        if m_bi.any():
+            out[m_bi] = self.cond2(v[m_bi], w[m_bi])
+        if m_tri.any():
+            out[m_tri] = self.cond3(u[m_tri], v[m_tri], w[m_tri])
+        total = float(np.sum(out))
+        return total
+
+    def score_chars(self, chars, bos: bool = False, eos: bool = False) -> float:
+        """Score a char-token sequence (list of single chars or a string)."""
+        text = "".join(chars)
+        return self.score_ids(self.encode(text), bos, eos)
+
+    def perplexity_chars(self, chars) -> float:
+        """kenlm Model.perplexity over char tokens.
+
+        Routed through ``ppl_batch`` so scalar and batched calls produce
+        bitwise-identical float64 results (same summation order).
+        """
+        return float(self.ppl_batch(["".join(chars)])[0])
+
+    def ppl_batch(self, texts) -> np.ndarray:
+        """Vectorized perplexity over many strings (one flat probe pass).
+
+        Bitwise-identical to ``perplexity_chars`` per row: the per-position
+        conditionals are computed by the same probe functions and summed
+        per sentence with np.add.reduceat (same pairwise order as the
+        np.sum over one sentence's positions).
+        """
+        if len(texts) == 0:
+            return np.empty(0, dtype=np.float64)
+        encs = [self.encode(t) for t in texts]
+        lens = np.array([len(e) for e in encs], dtype=np.int64)
+        # build flat sequence [bos] ids [eos] per sentence
+        parts = []
+        for e in encs:
+            parts.append(np.concatenate(([np.int64(1)], e, [np.int64(2)])))
+        flat = np.concatenate(parts)
+        seq_lens = lens + 2
+        starts = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))
+        # positions to score: all except the bos at each start
+        total_pos = int(np.sum(seq_lens - 1))
+        pos = np.empty(total_pos, dtype=np.int64)
+        row = np.empty(total_pos, dtype=np.int64)
+        o = 0
+        for r, (s, L) in enumerate(zip(starts, seq_lens)):
+            k = L - 1
+            pos[o: o + k] = np.arange(s + 1, s + L)
+            row[o: o + k] = r
+            o += k
+        w = flat[pos]
+        local = pos - starts[row]
+        v = flat[pos - 1]
+        u_idx = pos - 2
+        has_u = local >= 2
+        u = np.where(has_u, flat[np.maximum(u_idx, 0)], -1)
+        out = np.empty(total_pos, dtype=np.float64)
+        m_bi = ~has_u
+        if m_bi.any():
+            out[m_bi] = self.cond2(v[m_bi], w[m_bi])
+        if has_u.any():
+            out[has_u] = self.cond3(u[has_u], v[has_u], w[has_u])
+        # reduce per row
+        row_starts = np.concatenate(([0], np.cumsum(seq_lens - 1)[:-1]))
+        sums = np.add.reduceat(out, row_starts)
+        return 10.0 ** (-sums / (lens + 1))
+
+    # ---------------- detector window scoring ----------------
+
+    def window_avg_scores(self, sentence: str):
+        """Per-char averaged 2/3-gram scores — reference detector.py:441-461.
+
+        Returns float64 array of len(sentence), or None when the sentence is
+        too short for both n=2 and n=3 windows (len < 2).
+        """
+        ids = self.encode(sentence)
+        L = len(ids)
+        per_n = []
+        if L >= 2:
+            u = self.uni(ids)
+            c2 = self.cond2(ids[:-1], ids[1:])          # cond2[i] = P(s[i+1]|s[i])
+            w2 = u[:-1] + c2                             # score of s[i:i+2]
+            per_n.append(self._pad_and_average(w2, 2, L))
+        if L >= 3:
+            c3 = self.cond3(ids[:-2], ids[1:-1], ids[2:])  # P(s[i+2]|s[i],s[i+1])
+            w3 = u[:-2] + c2[:-1] + c3                      # score of s[i:i+3]
+            per_n.append(self._pad_and_average(w3, 3, L))
+        if not per_n:
+            return None
+        return np.average(np.array(per_n), axis=0)
+
+    @staticmethod
+    def _pad_and_average(scores: np.ndarray, n: int, sent_len: int) -> np.ndarray:
+        """Edge-pad by repeating first/last score (n-1 times each side),
+        then mean over sliding windows of size n — detector.py:452-456."""
+        padded = np.concatenate((
+            np.repeat(scores[0], n - 1),
+            scores,
+            np.repeat(scores[-1], n - 1),
+        ))
+        # windows i..i+n-1 for i in range(sent_len); all full by construction
+        csum = np.concatenate(([0.0], np.cumsum(padded)))
+        return (csum[n:n + sent_len] - csum[:sent_len]) / float(n)
+
+
+def mad_outlier_indices(scores: np.ndarray, ratio: float = 0.6745, threshold: float = 2.0):
+    """Median-absolute-deviation outlier test — reference detector.py:330-355.
+
+    Flags i where ratio*|s_i - median|/MAD > threshold AND s_i < median.
+    """
+    scores = np.asarray(scores, dtype=np.float64)
+    median = np.median(scores)
+    margin = np.abs(scores - median)
+    mad = np.median(margin)
+    if mad == 0:
+        return []
+    y = ratio * margin / mad
+    idx = np.where((y > threshold) & (scores < median))[0]
+    return [int(i) for i in idx]
+
+
+def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
+    """Train an order-3 absolute-discount backoff char LM.
+
+    ``corpus``: iterable of sentences (strings). Deterministic: vocabulary
+    ids assigned in sorted char order.
+    """
+    uni = Counter()
+    bi = Counter()
+    tri = Counter()
+    for sent in corpus:
+        if not sent:
+            continue
+        toks = ["<s>"] + list(sent) + ["</s>"]
+        for t in toks[1:]:
+            uni[t] += 1
+        for i in range(len(toks) - 1):
+            bi[(toks[i], toks[i + 1])] += 1
+        for i in range(len(toks) - 2):
+            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+
+    chars = sorted(c for c in uni if c not in ("<s>", "</s>") and uni[c] >= min_count)
+    vocab = {c: i + 3 for i, c in enumerate(chars)}
+    base = len(vocab) + 3
+
+    def tid(tok):
+        if tok == "<s>":
+            return 1
+        if tok == "</s>":
+            return 2
+        return vocab.get(tok, 0)
+
+    total_uni = sum(uni.values())
+    V = len(vocab) + 2  # + eos + unk share the smoothing mass
+    p1 = np.full(base, LOG10_EPS, dtype=np.float64)
+    # additive smoothing gives <unk> and every token nonzero mass
+    delta = 0.5
+    denom = total_uni + delta * (V + 1)
+    p1[0] = math.log10(delta / denom)  # unk
+    for tok, c in uni.items():
+        p1[tid(tok)] = math.log10((c + delta) / denom)
+    p1[1] = p1[0]  # <s> is never predicted; give it unk mass for safety
+
+    # context counts for backoff weights
+    ctx1_count = Counter()
+    ctx1_types = Counter()
+    for (a, b), c in bi.items():
+        ctx1_count[a] += c
+        ctx1_types[a] += 1
+    bow1 = np.zeros(base, dtype=np.float64)
+    keys2, p2v = [], []
+    for (a, b), c in sorted(bi.items()):
+        pa = max(c - DISCOUNT, 0.0) / ctx1_count[a]
+        # interpolate so every stored prob is nonzero
+        lam = DISCOUNT * ctx1_types[a] / ctx1_count[a]
+        prob = pa + lam * (10.0 ** p1[tid(b)])
+        keys2.append(_pack2(tid(a), tid(b), base))
+        p2v.append(math.log10(prob))
+    for a in ctx1_count:
+        lam = DISCOUNT * ctx1_types[a] / ctx1_count[a]
+        bow1[tid(a)] = math.log10(lam) if lam > 0 else LOG10_EPS
+
+    ctx2_count = Counter()
+    ctx2_types = Counter()
+    for (a, b, c_), c in tri.items():
+        ctx2_count[(a, b)] += c
+        ctx2_types[(a, b)] += 1
+
+    # bigram-conditional lookup for interpolation during training
+    p2_map = {k: v for k, v in zip(keys2, p2v)}
+
+    def cond2_train(vb, wb):
+        k = _pack2(vb, wb, base)
+        if k in p2_map:
+            return 10.0 ** p2_map[k]
+        return (10.0 ** bow1[vb]) * (10.0 ** p1[wb])
+
+    keys3, p3v = [], []
+    bow2_map = {}
+    for (a, b, w), c in sorted(tri.items()):
+        lam = DISCOUNT * ctx2_types[(a, b)] / ctx2_count[(a, b)]
+        pa = max(c - DISCOUNT, 0.0) / ctx2_count[(a, b)]
+        prob = pa + lam * cond2_train(tid(b), tid(w))
+        keys3.append(_pack3(tid(a), tid(b), tid(w), base))
+        p3v.append(math.log10(prob))
+    keys2_arr = np.array(keys2, dtype=np.int64)
+    order2 = np.argsort(keys2_arr, kind="stable")
+    bow2 = np.zeros(len(keys2), dtype=np.float64)
+    for (a, b), c in ctx2_count.items():
+        lam = DISCOUNT * ctx2_types[(a, b)] / c
+        bow2_map[_pack2(tid(a), tid(b), base)] = math.log10(lam) if lam > 0 else LOG10_EPS
+    k2_sorted = keys2_arr[order2]
+    p2_sorted = np.array(p2v, dtype=np.float64)[order2]
+    bow2_sorted = np.array([bow2_map.get(int(k), 0.0) for k in k2_sorted], dtype=np.float64)
+
+    keys3_arr = np.array(keys3, dtype=np.int64)
+    order3 = np.argsort(keys3_arr, kind="stable")
+    k3_sorted = keys3_arr[order3]
+    p3_sorted = np.array(p3v, dtype=np.float64)[order3]
+
+    return CharNgramLM(vocab, p1, bow1, k2_sorted, p2_sorted, bow2_sorted, k3_sorted, p3_sorted)

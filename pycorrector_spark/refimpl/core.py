@@ -1,0 +1,337 @@
+"""Serial reference-semantics implementation (the oracle).
+
+A faithful re-expression — NOT a copy — of the statistical core of
+shibing624/pycorrector (the reference at /root/reference):
+
+- Detector._detect / detect: detector.py:396-495
+- MAD outlier rule:          detector.py:330-355
+- containment dedup:         detector.py:303-328
+- Corrector.generate_items / get_lm_correct_item / correct:
+                             corrector.py:169-318
+- ConfusionCorrector.correct: confusion_corrector.py:58-71
+- EnSpellCorrector (Norvig): en_spell_corrector.py:59-175
+
+Known, documented divergences from the reference (forced by the sandbox —
+kenlm / jieba / pypinyin are unavailable; pipeline and oracle share these
+choices so they agree with EACH OTHER exactly):
+
+1. The language model is our own order-3 backoff char LM
+   (pycorrector_spark.lm) trained on the deterministic fixture corpus,
+   not the pretrained KenLM binary.
+2. Word segmentation is forward-maximum-matching over the broadcast word
+   dict, not jieba search mode.
+3. ``generate_items`` omits the pypinyin-filtered same-pinyin word set
+   (reference corrector.py:152-161) — candidates come from the custom
+   confusion dict and the similar-char table only.
+4. Proper-noun correction (proper_corrector.py) is disabled by default
+   (stubbed hook; planned for a later round).
+5. English tie-breaks sort candidates lexicographically before the
+   probability argmax (the reference iterates an unordered set, which is
+   hash-seed dependent — we pin determinism).
+
+This module is deliberately row-at-a-time: it defines the labels the
+distributed pipeline must reproduce. The vectorized numpy primitives it
+calls (LM window scorer, MAD) are THE SAME functions the Spark pandas-UDF
+stages call, so oracle and pipeline agree bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..textops import (
+    MultiPatternScanner,
+    is_cjk_string,
+    is_filter_token,
+    max_match_tokens,
+    split_sentences_by_symbol,
+    uniform,
+)
+from ..lm.model import CharNgramLM, mad_outlier_indices
+
+
+class ErrorType:
+    confusion = "confusion"
+    word = "word"
+    char = "char"
+    proper = "proper"
+
+
+def _check_contain_error(maybe_err, maybe_errors):
+    """True if maybe_err's word is a substring of an existing error whose
+    span contains it — reference detector.py:303-318."""
+    for err in maybe_errors:
+        if (
+            maybe_err[0] in err[0]
+            and maybe_err[1] >= err[1]
+            and maybe_err[2] <= err[2]
+        ):
+            return True
+    return False
+
+
+def _add_maybe_error_item(maybe_err, maybe_errors):
+    if maybe_err not in maybe_errors and not _check_contain_error(maybe_err, maybe_errors):
+        maybe_errors.append(maybe_err)
+
+
+class Detector:
+    """Error detector: confusion scan -> OOV words -> LM char outliers."""
+
+    def __init__(
+        self,
+        lm: CharNgramLM,
+        word_freq: dict,
+        confusion_dict: dict,
+        stopwords: set,
+        enable_char_error: bool = True,
+        enable_word_error: bool = True,
+    ):
+        self.lm = lm
+        self.word_freq = word_freq
+        self.custom_confusion = dict(confusion_dict)
+        self.stopwords = set(stopwords)
+        self.scanner = MultiPatternScanner(self.custom_confusion.keys())
+        self.enable_char_error = enable_char_error
+        self.enable_word_error = enable_word_error
+        self._word_set = set(word_freq)
+
+    # -- kenlm-equivalent helpers (detector.py:268-284) --
+
+    def ngram_score(self, chars) -> float:
+        return self.lm.score_chars(chars, bos=False, eos=False)
+
+    def ppl_score(self, words) -> float:
+        return self.lm.perplexity_chars(words)
+
+    def word_frequency(self, word: str) -> int:
+        return self.word_freq.get(word, 0)
+
+    # -- detection --
+
+    def _detect(self, sentence: str, start_idx: int = 0):
+        """Return [[word, begin, end, type], ...] for one fragment.
+
+        Stage order and containment dedup mirror detector.py:396-478.
+        """
+        maybe_errors = []
+
+        # 1. custom confusion variants (all occurrences, end-index order)
+        if len(self.scanner) > 0:
+            for end_idx, confuse in self.scanner.iter_matches(sentence):
+                begin_idx = end_idx - len(confuse) + 1
+                maybe_err = [confuse, begin_idx + start_idx, end_idx + 1 + start_idx, ErrorType.confusion]
+                _add_maybe_error_item(maybe_err, maybe_errors)
+
+        # 2. proper nouns: disabled in round 1 (divergence #4)
+
+        # 3. OOV words
+        if self.enable_word_error:
+            for token, b, e in max_match_tokens(sentence, self._word_set):
+                if is_filter_token(token):
+                    continue
+                if token in self.word_freq:
+                    continue
+                _add_maybe_error_item([token, b + start_idx, e + start_idx, ErrorType.word], maybe_errors)
+
+        # 4. LM char outliers (2/3-gram window average + MAD)
+        if self.enable_char_error:
+            sent_scores = self.lm.window_avg_scores(sentence)
+            if sent_scores is not None:
+                for i in mad_outlier_indices(sent_scores):
+                    token = sentence[i]
+                    if is_filter_token(token):
+                        continue
+                    if token in self.stopwords:
+                        continue
+                    _add_maybe_error_item([token, i + start_idx, i + start_idx + 1, ErrorType.char], maybe_errors)
+
+        return sorted(maybe_errors, key=lambda k: k[1])
+
+    def detect(self, sentence: str):
+        """uniform -> split -> _detect per fragment (detector.py:480-495)."""
+        maybe_errors = []
+        if not sentence.strip():
+            return maybe_errors
+        sentence = uniform(sentence)
+        for sent, idx in split_sentences_by_symbol(sentence):
+            maybe_errors += self._detect(sent, idx)
+        return maybe_errors
+
+
+class Corrector(Detector):
+    """Candidate generation + LM perplexity re-rank + splice."""
+
+    PPL_THRESHOLD = 5.0  # config.PipelineConfig.ppl_rerank_threshold; the
+    # reference default is 57.0 (corrector.py:223,264) on pretrained KenLM's
+    # ppl scale — see config.py for the calibration note.
+
+    def __init__(self, *, similar_chars: dict = None, ppl_threshold: float = None, **kwargs):
+        super().__init__(**kwargs)
+        self.similar_chars = {k: set(v) for k, v in (similar_chars or {}).items()}
+        if ppl_threshold is not None:
+            self.PPL_THRESHOLD = ppl_threshold
+
+    def _confusion_char_set(self, c: str) -> set:
+        return self.similar_chars.get(c, set())
+
+    def _confusion_custom_set(self, word: str) -> set:
+        if word in self.custom_confusion:
+            return {self.custom_confusion[word]}
+        return set()
+
+    def generate_items(self, word: str, fragment: int = 1):
+        """Candidate set per reference corrector.py:169-221 (sans pinyin)."""
+        candidates_1, candidates_2, candidates_3 = [], [], []
+        candidates_1.extend(self._confusion_custom_set(word))
+        if len(word) == 1:
+            candidates_1.extend(i for i in self._confusion_char_set(word[0]) if i)
+        if len(word) == 2:
+            conf_first = [i for i in self._confusion_char_set(word[0]) if i]
+            candidates_2.extend(i + word[1] for i in conf_first)
+            conf_last = [i for i in self._confusion_char_set(word[1]) if i]
+            candidates_2.extend(word[0] + i for i in conf_last)
+            candidates_2.extend(i + j for i in conf_first for j in conf_last if i + j)
+        if len(word) > 2:
+            candidates_3.extend(word[0] + i + word[2:] for i in self._confusion_char_set(word[1]))
+        pool = set(candidates_1 + candidates_2 + candidates_3)
+        pool = [w for w in pool if is_cjk_string(w)]
+        # deterministic: sort lexicographically first, then stable by freq desc
+        pool.sort()
+        pool.sort(key=lambda k: self.word_frequency(k), reverse=True)
+        return pool[: len(pool) // fragment + 1]
+
+    def get_lm_correct_item(self, cur_item, candidates, before_sent, after_sent, threshold=None):
+        if threshold is None:
+            threshold = self.PPL_THRESHOLD
+        """Keep cur_item if its ppl is within `threshold` of the best
+        candidate; else take the best (corrector.py:223-257)."""
+        result = cur_item
+        if cur_item not in candidates:
+            candidates = candidates + [cur_item]
+        texts = [before_sent + c + after_sent for c in candidates]
+        ppls = self.lm.ppl_batch(texts)
+        order = sorted(range(len(candidates)), key=lambda i: ppls[i])
+        top_items = []
+        top_score = 0.0
+        for rank, i in enumerate(order):
+            if rank == 0:
+                top_score = float(ppls[i])
+                top_items.append(candidates[i])
+            elif float(ppls[i]) < top_score + threshold:
+                top_items.append(candidates[i])
+            else:
+                break
+        if cur_item not in top_items:
+            result = top_items[0]
+        return result
+
+    def correct(self, sentence: str, include_symbol: bool = True, num_fragment: int = 1, threshold: float = None):
+        if threshold is None:
+            threshold = self.PPL_THRESHOLD
+        """Full correction; NOTE: no uniform() here (reference asymmetry,
+        corrector.py:285 vs detector.py:490)."""
+        corrected_sentence = ""
+        details = []
+        for sent, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):
+            maybe_errors = self._detect(sent, idx)
+            for cur_item, begin_idx, end_idx, err_type in maybe_errors:
+                before_sent = sent[: (begin_idx - idx)]
+                after_sent = sent[(end_idx - idx):]
+                if err_type == ErrorType.confusion:
+                    corrected_item = self.custom_confusion[cur_item]
+                else:
+                    candidates = self.generate_items(cur_item, fragment=num_fragment)
+                    if not candidates:
+                        continue
+                    corrected_item = self.get_lm_correct_item(
+                        cur_item, candidates, before_sent, after_sent, threshold=threshold
+                    )
+                if corrected_item != cur_item:
+                    sent = before_sent + corrected_item + after_sent
+                    details.append((cur_item, corrected_item, begin_idx))
+            corrected_sentence += sent
+        details = sorted(details, key=lambda d: d[2])
+        return {"source": sentence, "target": corrected_sentence, "errors": details}
+
+
+class ConfusionCorrector:
+    """Forced confusion replace (confusion_corrector.py:58-71): every match
+    spliced in place, later matches win on overlap."""
+
+    def __init__(self, confusion_dict: dict):
+        self.confusion = dict(confusion_dict)
+        self.scanner = MultiPatternScanner(self.confusion.keys())
+
+    def correct(self, sentence: str):
+        corrected = list(sentence)
+        details = []
+        for end_index, err in self.scanner.iter_matches(sentence):
+            truth = self.confusion[err]
+            start_index = end_index - len(err) + 1
+            corrected[start_index: end_index + 1] = list(truth)
+            details.append((err, truth, start_index))
+        return {"source": sentence, "target": "".join(corrected), "errors": details}
+
+
+class EnSpellCorrector:
+    """Norvig spell corrector (en_spell_corrector.py:59-175)."""
+
+    LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+    def __init__(self, word_freq: dict, confusion_dict: dict = None):
+        self.word_freq = dict(word_freq)
+        self.sum_freq = sum(self.word_freq.values())
+        self.confusion = dict(confusion_dict or {})
+
+    def edits1(self, word):
+        splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+        deletes = [L + R[1:] for L, R in splits if R]
+        transposes = [L + R[1] + R[0] + R[2:] for L, R in splits if len(R) > 1]
+        replaces = [L + c + R[1:] for L, R in splits if R for c in self.LETTERS]
+        inserts = [L + c + R for L, R in splits for c in self.LETTERS]
+        return set(deletes + transposes + replaces + inserts)
+
+    def edits2(self, word):
+        return (e2 for e1 in self.edits1(word) for e2 in self.edits1(e1))
+
+    def known(self, words):
+        return set(w for w in words if w in self.word_freq)
+
+    def probability(self, word):
+        return self.word_freq.get(word, 0) / self.sum_freq
+
+    def candidates(self, word):
+        return (
+            self.known([word])
+            or self.known(self.edits1(word))
+            or self.known(self.edits2(word))
+            or {word}
+        )
+
+    def correct_word(self, word):
+        # deterministic tie-break: lexicographic, then max probability
+        cands = sorted(self.candidates(word))
+        best = cands[0]
+        best_p = self.probability(best)
+        for c in cands[1:]:
+            p = self.probability(c)
+            if p > best_p:
+                best, best_p = c, p
+        return best
+
+    def correct(self, sentence: str, include_symbol: bool = True):
+        text_new = ""
+        details = []
+        for w, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):
+            if len(w) > 1 and all(("a" <= c <= "z") or ("A" <= c <= "Z") for c in w):
+                if w in self.confusion:
+                    corrected = self.confusion[w]
+                else:
+                    corrected = self.correct_word(w)
+                if corrected != w:
+                    details.append((w, corrected, idx))
+                    w = corrected
+            text_new += w
+        details = sorted(details, key=lambda d: d[2])
+        return {"source": sentence, "target": text_new, "errors": details}

@@ -1,0 +1,318 @@
+"""Pure text primitives shared by the serial reference oracle and the
+vectorized Spark stages.
+
+Semantics re-expressed (not copied) from the reference toolkit
+shibing624/pycorrector:
+
+- width folding + lowercase ("uniform"): reference
+  pycorrector/utils/text_utils.py:50-81 (B2Q/Q2B/stringQ2B/uniform)
+- char-class predicates: pycorrector/utils/text_utils.py:15-47
+- sentence split on non-[CJK/alnum/+#&] runs with running start index:
+  pycorrector/utils/tokenizer.py:18-55
+- n-gram generation: pycorrector/utils/ngram_util.py
+
+Everything here is deterministic, dependency-free (stdlib + numpy/pandas),
+and vectorization-friendly: scalar forms for the serial oracle, `*_series`
+forms operating on pandas Series for Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Width folding (fullwidth -> halfwidth) + lowercase == reference `uniform`
+# --------------------------------------------------------------------------
+
+# Fullwidth forms U+FF01..U+FF5E map to ASCII 0x21..0x7E (offset 0xFEE0);
+# ideographic space U+3000 maps to ASCII space. Anything else unchanged.
+_Q2B_TABLE = {0x3000: 0x20}
+_Q2B_TABLE.update({cp: cp - 0xFEE0 for cp in range(0xFF01, 0xFF5F)})
+
+_B2Q_TABLE = {0x20: 0x3000}
+_B2Q_TABLE.update({cp: cp + 0xFEE0 for cp in range(0x21, 0x7F)})
+
+
+def string_q2b(s: str) -> str:
+    """Fullwidth -> halfwidth for the whole string."""
+    return s.translate(_Q2B_TABLE)
+
+
+def string_b2q(s: str) -> str:
+    """Halfwidth -> fullwidth for the whole string."""
+    return s.translate(_B2Q_TABLE)
+
+
+def uniform(s: str) -> str:
+    """Normalize: fold fullwidth to halfwidth, then lowercase.
+
+    Matches reference text_utils.uniform (Q2B then .lower()). Applied by
+    detect() but deliberately NOT by correct() (reference asymmetry,
+    detector.py:490 vs corrector.py:285).
+    """
+    return string_q2b(s).lower()
+
+
+def uniform_series(s: pd.Series) -> pd.Series:
+    """Vectorized `uniform` over a string Series."""
+    return s.str.translate(_Q2B_TABLE).str.lower()
+
+
+# --------------------------------------------------------------------------
+# Char-class predicates
+# --------------------------------------------------------------------------
+
+def is_cjk_char(ch: str) -> bool:
+    return "一" <= ch <= "龥"
+
+
+def is_cjk_string(s: str) -> bool:
+    return bool(s) and all(is_cjk_char(c) for c in s)
+
+
+def is_alpha_char(ch: str) -> bool:
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+
+
+def is_alpha_string(s: str) -> bool:
+    return bool(s) and all(is_alpha_char(c) for c in s)
+
+
+def is_digit_string(s: str) -> bool:
+    return s.isdigit()
+
+
+def is_filter_token(token: str) -> bool:
+    """True for tokens the detector skips: blank / digits / latin / non-CJK.
+
+    Reference detector.py:374-394.
+    """
+    if not token.strip():
+        return True
+    if token.isdigit():
+        return True
+    if is_alpha_string(token.lower()):
+        return True
+    if not is_cjk_string(token):
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
+# Sentence splitting
+# --------------------------------------------------------------------------
+
+# Runs of CJK/latin/digit/+#& are "content" fragments; everything between
+# (punctuation, whitespace) are "symbol" fragments. Reference tokenizer.py:18-42.
+HAN_RUN_RE = re.compile(r"([一-龥a-zA-Z0-9+#&]+)", re.U)
+HAN_RUN_PATTERN = r"[一-龥a-zA-Z0-9+#&]+"  # for Spark/DuckDB regexes
+
+
+def split_sentences_by_symbol(text: str, include_symbol: bool = True):
+    """Split into (fragment, start_index) pairs on symbol boundaries.
+
+    With include_symbol=True the symbol runs are kept as their own
+    fragments so that ``''.join(frag for frag, _ in result) == text``.
+    """
+    result = []
+    start = 0
+    for frag in HAN_RUN_RE.split(text):
+        if not frag:
+            continue
+        if include_symbol or HAN_RUN_RE.match(frag):
+            result.append((frag, start))
+        start += len(frag)
+    return result
+
+
+def split_sentences_by_length(text: str, length: int = 512):
+    """Fixed-width chunks with start offsets. Reference tokenizer.py:45-55."""
+    return [(text[i: i + length], i) for i in range(0, len(text), length)]
+
+
+# --------------------------------------------------------------------------
+# Word segmentation: forward maximum matching against a dictionary.
+#
+# The reference uses jieba (unavailable here). Both the serial oracle and
+# the Spark stage share THIS segmenter, so OOV-word detection agrees
+# between them by construction. Deterministic given the same word set.
+# --------------------------------------------------------------------------
+
+def max_match_tokens(sentence: str, words: set, max_len: int = 8):
+    """Forward-maximum-match segmentation with spans.
+
+    Returns list of (token, begin, end). Unknown single chars come out as
+    1-char tokens (the OOV-detection surface, reference detector.py:427-438).
+    Latin/digit runs are kept whole.
+    """
+    out = []
+    i, n = 0, len(sentence)
+    while i < n:
+        ch = sentence[i]
+        # keep latin/digit runs whole
+        if ch.isascii() and (ch.isalnum()):
+            j = i + 1
+            while j < n and sentence[j].isascii() and sentence[j].isalnum():
+                j += 1
+            out.append((sentence[i:j], i, j))
+            i = j
+            continue
+        match_len = 1
+        upper = min(max_len, n - i)
+        for L in range(upper, 1, -1):
+            if sentence[i: i + L] in words:
+                match_len = L
+                break
+        out.append((sentence[i: i + match_len], i, i + match_len))
+        i += match_len
+    return out
+
+
+# --------------------------------------------------------------------------
+# N-grams
+# --------------------------------------------------------------------------
+
+def char_ngrams(s: str, n: int):
+    """All contiguous char n-grams of s (len(s)-n+1 of them)."""
+    return [s[i: i + n] for i in range(len(s) - n + 1)]
+
+
+def word_shingles(tokens, k: int):
+    """k-word shingles joined by a single space."""
+    return [" ".join(tokens[i: i + k]) for i in range(len(tokens) - k + 1)]
+
+
+# --------------------------------------------------------------------------
+# Multi-pattern scanning (replaces pyahocorasick for small confusion sets).
+# --------------------------------------------------------------------------
+
+class MultiPatternScanner:
+    """Find all (possibly overlapping) occurrences of a set of patterns.
+
+    Matches the observable behavior of ``ahocorasick.Automaton.iter``:
+    every occurrence of every pattern is reported, ordered by end index
+    (then by pattern length so longer patterns at the same end come later,
+    mirroring trie output order closely enough for deterministic use —
+    the reference consumes matches into an order-insensitive containment
+    check, detector.py:303-328).
+    """
+
+    def __init__(self, patterns):
+        self._patterns = sorted(set(p for p in patterns if p))
+        # group by first char for cheap scanning of small dicts
+        self._by_first = {}
+        for p in self._patterns:
+            self._by_first.setdefault(p[0], []).append(p)
+        self._max_len = max((len(p) for p in self._patterns), default=0)
+
+    def __len__(self):
+        return len(self._patterns)
+
+    def iter_matches(self, text: str):
+        """Yield (end_index_inclusive, pattern) in end-index order."""
+        hits = []
+        n = len(text)
+        for i in range(n):
+            cands = self._by_first.get(text[i])
+            if not cands:
+                continue
+            for p in cands:
+                lp = len(p)
+                if i + lp <= n and text[i: i + lp] == p:
+                    hits.append((i + lp - 1, p))
+        hits.sort(key=lambda t: (t[0], len(t[1])))
+        return hits
+
+
+# --------------------------------------------------------------------------
+# PII / junk scrubbing — the regex-normalization stage of the pipeline.
+# One source of truth for the patterns; applied identically in the serial
+# oracle (re.sub chain) and the Spark stage (pandas .str.replace chain,
+# same Python `re` engine -> byte-identical output).
+# --------------------------------------------------------------------------
+
+SCRUB_RULES = [
+    # (name, compiled pattern, replacement)
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    ("url", re.compile(r"https?://[^\s<>\"]+|www\.[^\s<>\"]+"), "<URL>"),
+    ("ip", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+    ("phone", re.compile(r"\b(?:\+?\d{1,3}[-\s.]?)?(?:\(\d{2,4}\)[-\s.]?)?\d{3,4}[-\s.]\d{3,4}(?:[-\s.]\d{3,4})?\b"), "<PHONE>"),
+    ("idnum", re.compile(r"\b\d{15}(?:\d{2}[0-9Xx])?\b"), "<ID>"),
+]
+
+_WS_COLLAPSE = re.compile(r"[ \t\f\v]+")
+
+
+def scrub_text(s: str) -> str:
+    """Apply PII scrub rules then collapse horizontal whitespace runs."""
+    for _name, pat, repl in SCRUB_RULES:
+        s = pat.sub(repl, s)
+    return _WS_COLLAPSE.sub(" ", s).strip()
+
+
+def scrub_series(s: pd.Series) -> pd.Series:
+    """Vectorized scrub over a string Series (same `re` engine as scalar)."""
+    for _name, pat, repl in SCRUB_RULES:
+        s = s.str.replace(pat, repl, regex=True)
+    return s.str.replace(_WS_COLLAPSE, " ", regex=True).str.strip()
+
+
+# --------------------------------------------------------------------------
+# Quality heuristics (length / symbol ratio / repetition), SQL-expressible
+# so the DuckDB oracle can verify them. Definitions are frozen here.
+# --------------------------------------------------------------------------
+
+WORD_SPLIT_RE = re.compile(r"\s+")
+NON_ALNUM_RE = re.compile(r"[^一-龥a-zA-Z0-9\s]")
+CJK_RE = re.compile(r"[一-龥]")
+LATIN_RE = re.compile(r"[A-Za-z]")
+
+MIN_LEN = 8           # chars; shorter docs are junk
+MAX_LEN = 1_000_000   # chars
+MAX_SYMBOL_RATIO = 0.3
+MAX_REP_RATIO = 0.6   # 1 - distinct_words/words
+
+
+def quality_signals(text: str) -> dict:
+    """Frozen heuristic quality signals for one document."""
+    n = len(text)
+    stripped = text.strip()
+    n_sym = len(NON_ALNUM_RE.findall(text))
+    words = [w for w in WORD_SPLIT_RE.split(stripped) if w] if stripped else []
+    n_words = len(words)
+    n_distinct = len(set(words))
+    symbol_ratio = (n_sym / n) if n else 1.0
+    rep_ratio = (1.0 - n_distinct / n_words) if n_words else 1.0
+    len_ok = MIN_LEN <= len(stripped) <= MAX_LEN
+    return {
+        "n_chars": n,
+        "n_words": n_words,
+        "symbol_ratio": symbol_ratio,
+        "rep_ratio": rep_ratio,
+        "len_ok": len_ok,
+    }
+
+
+def lang_id(text: str) -> tuple:
+    """Heuristic language ID: (lang, confidence).
+
+    Frozen rule: ratio of CJK chars vs latin chars among non-space chars.
+    'zh' if cjk_ratio >= 0.3; 'en' if latin_ratio >= 0.5; else 'und'.
+    Confidence = the winning ratio. SQL-expressible (regexp counts).
+    """
+    n = len(text) - text.count(" ")
+    if n <= 0:
+        return ("und", 0.0)
+    cjk = len(CJK_RE.findall(text))
+    latin = len(LATIN_RE.findall(text))
+    cjk_ratio = cjk / n
+    latin_ratio = latin / n
+    if cjk_ratio >= 0.3:
+        return ("zh", cjk_ratio)
+    if latin_ratio >= 0.5:
+        return ("en", latin_ratio)
+    return ("und", max(cjk_ratio, latin_ratio))
