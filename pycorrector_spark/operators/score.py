@@ -1,0 +1,194 @@
+"""The expensive Arrow-batched stage: LM perplexity, error detection,
+correction, PII scrub — one mapInPandas pass.
+
+Executor pattern: the model + dictionaries are built ONCE on the driver
+(deterministic), shipped as a broadcast, and materialized into a
+per-Python-worker singleton before the first batch (the reference's lazy
+``check_detector_initialized`` — detector.py:152-154 — re-expressed for
+executors). Per north rule, the hot loop (LM probes) is vectorized numpy
+over Arrow batches; only the row-local splice/candidate logic is per-row
+Python inside the already-batched UDF (SURVEY.md §7.3).
+
+Cheap-gate pushdown: rows that already failed the codegen'd heuristics
+(len/symbol/repetition/lang) skip the LM + correction entirely — the
+document is dropped by an earlier rule, so the expensive signals are null
+(the serial oracle does exactly the same, so outputs stay identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig, keep_decision
+from ..dicts import CONFUSION_DICT, CONFUSION_EN, SIMILAR_CHARS, STOPWORDS_ZH
+from ..fixtures import lm_corpus, word_freq_en, word_freq_zh
+from ..lm.model import CharNgramLM, train_char_lm
+from ..refimpl.core import Corrector, EnSpellCorrector
+from ..textops import scrub_series, uniform
+
+# ---------------------------------------------------------------------------
+# Artifacts: everything the executors need, as one picklable broadcast value
+# ---------------------------------------------------------------------------
+
+
+class Artifacts:
+    """Driver-built, broadcast-shipped model + dictionaries."""
+
+    def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
+                 en_word_freq, en_confusion, cfg: PipelineConfig):
+        self.lm = lm
+        self.word_freq = word_freq
+        self.confusion = confusion
+        self.similar = similar
+        self.stopwords = stopwords
+        self.en_word_freq = en_word_freq
+        self.en_confusion = en_confusion
+        self.cfg = cfg
+
+
+def build_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
+    """Deterministic: LM trained from the fixture corpus, dicts embedded.
+    At production scale this loads ARPA/dict files staged via --files."""
+    return Artifacts(
+        lm=train_char_lm(lm_corpus()),
+        word_freq=word_freq_zh(),
+        confusion=dict(CONFUSION_DICT),
+        similar={k: set(v) for k, v in SIMILAR_CHARS.items()},
+        stopwords=set(STOPWORDS_ZH),
+        en_word_freq=word_freq_en(),
+        en_confusion=dict(CONFUSION_EN),
+        cfg=cfg,
+    )
+
+
+# per-Python-worker singleton (one Corrector per executor process, amortized
+# over all Arrow batches — NOT per batch, NOT per row)
+_WORKER_CACHE = {}
+
+
+def _get_workers(bc):
+    key = id(bc)
+    if key not in _WORKER_CACHE:
+        art: Artifacts = bc.value
+        zh = Corrector(
+            lm=art.lm,
+            word_freq=art.word_freq,
+            confusion_dict=art.confusion,
+            stopwords=art.stopwords,
+            similar_chars=art.similar,
+            ppl_threshold=art.cfg.ppl_rerank_threshold,
+        )
+        en = EnSpellCorrector(art.en_word_freq, art.en_confusion)
+        _WORKER_CACHE.clear()  # only one broadcast generation alive at a time
+        _WORKER_CACHE[key] = (art, zh, en)
+    return _WORKER_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Batch processing (shared by the Spark stage and unit tests)
+# ---------------------------------------------------------------------------
+
+SCORE_SCHEMA_SUFFIX = (
+    "ppl double, n_errors int, error_density double, "
+    "errors array<struct<word:string,begin:int,end:int,type:string>>, "
+    "corrected_text string, "
+    "corrections array<struct<error_word:string,correct_word:string,pos:int>>, "
+    "scrubbed_text string, keep boolean, drop_reason string"
+)
+
+
+def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
+                  cfg: PipelineConfig) -> pd.DataFrame:
+    """Compute expensive signals + decision for one Arrow batch.
+
+    Expects columns: text, lang_id, len_ok, symbol_ratio, rep_ratio, n_chars.
+    """
+    n = len(pdf)
+    text = pdf["text"].astype(object)
+    lang = pdf["lang_id"].astype(object)
+
+    cheap_pass = (
+        pdf["len_ok"].to_numpy()
+        & (pdf["symbol_ratio"].to_numpy() <= cfg.max_symbol_ratio)
+        & (pdf["rep_ratio"].to_numpy() <= cfg.max_rep_ratio)
+        & np.isin(lang.to_numpy(), cfg.allowed_langs)
+    )
+
+    ppl = np.full(n, np.nan)
+    n_errors = np.full(n, -1, dtype=np.int64)
+    errors_col = [None] * n
+    corrected_col = [None] * n
+    corrections_col = [None] * n
+
+    idx_pass = np.where(cheap_pass)[0]
+    if len(idx_pass):
+        # vectorized ppl over ALL passing docs in one flat probe pass
+        uni_texts = [uniform(text.iat[i]) for i in idx_pass]
+        ppl[idx_pass] = zh.lm.ppl_batch(uni_texts)
+
+    for i in idx_pass:
+        t = text.iat[i]
+        if lang.iat[i] == "zh":
+            dets = zh.detect(t)
+            res = zh.correct(t)
+        else:
+            res = en.correct(t)
+            dets = [[w, p, p + len(w), "en_spell"] for (w, c, p) in res["errors"]]
+        errors_col[i] = [
+            {"word": w, "begin": int(b), "end": int(e), "type": ty}
+            for (w, b, e, ty) in dets
+        ]
+        n_errors[i] = len(dets)
+        corrected_col[i] = res["target"]
+        corrections_col[i] = [
+            {"error_word": w, "correct_word": c, "pos": int(p)}
+            for (w, c, p) in res["errors"]
+        ]
+
+    n_chars = pdf["n_chars"].to_numpy()
+    density = np.where(
+        n_errors >= 0,
+        n_errors / np.maximum(n_chars, 1),
+        0.0,
+    )
+
+    keep = np.zeros(n, dtype=bool)
+    reasons = [""] * n
+    len_ok_arr = pdf["len_ok"].to_numpy()
+    sym = pdf["symbol_ratio"].to_numpy()
+    rep = pdf["rep_ratio"].to_numpy()
+    for i in range(n):
+        k, r = keep_decision(
+            bool(len_ok_arr[i]), float(sym[i]), float(rep[i]),
+            lang.iat[i],
+            float(ppl[i]) if not np.isnan(ppl[i]) else 0.0,
+            float(density[i]),
+            cfg,
+        )
+        keep[i] = k
+        reasons[i] = r
+
+    out = pdf.copy()
+    out["ppl"] = [None if np.isnan(p) else float(p) for p in ppl]
+    out["n_errors"] = [None if v < 0 else int(v) for v in n_errors]
+    out["error_density"] = density
+    out["errors"] = errors_col
+    out["corrected_text"] = corrected_col
+    out["corrections"] = corrections_col
+    out["scrubbed_text"] = scrub_series(text).astype(object)
+    out["keep"] = keep
+    out["drop_reason"] = reasons
+    return out
+
+
+def make_score_stage(bc, input_schema_ddl: str):
+    """Build (mapInPandas function, output schema DDL) for the score stage."""
+    schema = input_schema_ddl + ", " + SCORE_SCHEMA_SUFFIX
+
+    def fn(iterator):
+        art, zh, en = _get_workers(bc)
+        for pdf in iterator:
+            yield process_batch(pdf, zh, en, art.cfg)
+
+    return fn, schema

@@ -266,8 +266,13 @@ def scrub_series(s: pd.Series) -> pd.Series:
 # so the DuckDB oracle can verify them. Definitions are frozen here.
 # --------------------------------------------------------------------------
 
-WORD_SPLIT_RE = re.compile(r"\s+")
-NON_ALNUM_RE = re.compile(r"[^一-龥a-zA-Z0-9\s]")
+# Frozen, dialect-portable char classes: identical semantics in Python re,
+# Java regex (Spark), and RE2 (DuckDB). Deliberately no `\s` / str.strip()
+# (their unicode behavior differs across engines).
+WS_CHARS = " \t\n\r"
+WORD_SPLIT_RE = re.compile(r"[ \t\n\r]+")
+NON_ALNUM_RE = re.compile(r"[^一-龥a-zA-Z0-9 \t\n\r]")
+WS_RE = re.compile(r"[ \t\n\r]")
 CJK_RE = re.compile(r"[一-龥]")
 LATIN_RE = re.compile(r"[A-Za-z]")
 
@@ -278,9 +283,14 @@ MAX_REP_RATIO = 0.6   # 1 - distinct_words/words
 
 
 def quality_signals(text: str) -> dict:
-    """Frozen heuristic quality signals for one document."""
+    """Frozen heuristic quality signals for one document.
+
+    Every definition here has an exact Spark-SQL and DuckDB-SQL equivalent
+    (see operators/quality.py and __spark_entry__.py oracles); parity is
+    test-enforced over the full fixture set.
+    """
     n = len(text)
-    stripped = text.strip()
+    stripped = text.strip(WS_CHARS)
     n_sym = len(NON_ALNUM_RE.findall(text))
     words = [w for w in WORD_SPLIT_RE.split(stripped) if w] if stripped else []
     n_words = len(words)
@@ -300,11 +310,11 @@ def quality_signals(text: str) -> dict:
 def lang_id(text: str) -> tuple:
     """Heuristic language ID: (lang, confidence).
 
-    Frozen rule: ratio of CJK chars vs latin chars among non-space chars.
-    'zh' if cjk_ratio >= 0.3; 'en' if latin_ratio >= 0.5; else 'und'.
-    Confidence = the winning ratio. SQL-expressible (regexp counts).
+    Frozen rule over non-whitespace chars: 'zh' if cjk_ratio >= 0.3;
+    'en' if latin_ratio >= 0.5; else 'und'. Confidence = winning ratio.
+    SQL-expressible (regexp counts).
     """
-    n = len(text) - text.count(" ")
+    n = len(text) - len(WS_RE.findall(text))
     if n <= 0:
         return ("und", 0.0)
     cjk = len(CJK_RE.findall(text))
