@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full quality-filter pipeline over sf0.001 docs.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data ops); each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query where SQL-expressible;
+                 omitted for LM/minhash/simhash/pipeline ops (rows-only check;
+                 those are verified against the serial reference oracle in
+                 tests/ instead).
 """
 
 from __future__ import annotations
@@ -12,27 +14,479 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table into the pipeline's web-page schema."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id") * 17)).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: langid + heuristics + LM ppl + detect/correct + scrub +
+    keep/drop over the sf0.001 documents table."""
+    from pycorrector_spark.pipeline import run_quality_pipeline
+
+    docs = _docs_as_webpages(spark, SF_DEFAULT)
+    scored = run_quality_pipeline(spark, docs)
+    return scored.select(
+        "url", "lang_id", "n_chars", "symbol_ratio", "rep_ratio", "ppl",
+        "n_errors", "keep", "drop_reason", "scrubbed_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# frozen SQL fragments shared by several oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_WS = "' ' || chr(9) || chr(10) || chr(13)"
+_SYM_PAT = "[^一-龥a-zA-Z0-9 \t\n\r]"
+_WS_PAT = "[ \t\n\r]"
+_SPLIT_PAT = "[ \t\n\r]+"
+
+_SIGNALS_CTE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         text,
+         length(text) AS n_chars,
+         trim(text, {_WS}) AS stripped,
+         length(text) - length(regexp_replace(text, '{_SYM_PAT}', '', 'g')) AS n_sym,
+         list_filter(regexp_split_to_array(trim(text, {_WS}), '{_SPLIT_PAT}'), x -> x <> '') AS words,
+         length(regexp_replace(text, '{_WS_PAT}', '', 'g')) AS n_ns,
+         length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) AS n_cjk,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin
+  FROM documents
+), sig2 AS (
+  SELECT *,
+         len(words) AS n_words,
+         len(list_distinct(words)) AS n_distinct,
+         CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 1.0 END AS symbol_ratio,
+         CASE WHEN len(words) > 0 THEN 1.0 - len(list_distinct(words)) / len(words) ELSE 1.0 END AS rep_ratio,
+         length(stripped) BETWEEN 8 AND 1000000 AS len_ok,
+         CASE WHEN n_ns <= 0 THEN 'und'
+              WHEN n_cjk / n_ns >= 0.3 THEN 'zh'
+              WHEN n_latin / n_ns >= 0.5 THEN 'en'
+              ELSE 'und' END AS lang_id,
+         CASE WHEN n_ns <= 0 THEN 0.0
+              WHEN n_cjk / n_ns >= 0.3 THEN n_cjk / n_ns
+              WHEN n_latin / n_ns >= 0.5 THEN n_latin / n_ns
+              ELSE greatest(n_cjk / n_ns, n_latin / n_ns) END AS lang_conf
+  FROM sig
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_quality_signals(spark, sf_dir):
+    from pycorrector_spark.operators.quality import with_quality_columns
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_quality_columns(d).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "symbol_ratio",
+        "rep_ratio",
+        "len_ok",
+    )
+
+
+def q_langid(spark, sf_dir):
+    from pycorrector_spark.operators.quality import with_lang_id
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_lang_id(d).select("doc_id", "lang_id", "lang_conf")
+
+
+def q_keep_cheap(spark, sf_dir):
+    """SQL-expressible prefix of the frozen keep/drop rule (len/symbol/
+    repetition/lang); the full rule adds LM ppl + error density, verified
+    in tests (q_pipeline_full is the rows-only complete version)."""
+    from pycorrector_spark.operators.quality import with_lang_id, with_quality_columns
+    from pycorrector_spark.config import DEFAULT_CONFIG as C
+
+    d = with_lang_id(with_quality_columns(_docs(spark, sf_dir).select("doc_id", "text")))
+    reason = (
+        F.when(~F.col("len_ok"), F.lit("len"))
+        .when(F.col("symbol_ratio") > C.max_symbol_ratio, F.lit("symbol"))
+        .when(F.col("rep_ratio") > C.max_rep_ratio, F.lit("repetition"))
+        .when(~F.col("lang_id").isin(*C.allowed_langs), F.lit("lang"))
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", (reason == "").alias("keep_cheap"), reason.alias("drop_reason"))
+
+
+def q_scrub(spark, sf_dir):
+    from pycorrector_spark.operators.quality import with_scrubbed
+
+    return with_scrubbed(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", "scrubbed_text"
+    )
+
+
+def q_sent_split(spark, sf_dir):
+    frags = F.filter(
+        F.split("text", "[^一-龥a-zA-Z0-9+#&]+"), lambda x: x != F.lit("")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(frags).alias("frag"))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from pycorrector_spark.operators.textstats import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from pycorrector_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pycorrector_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from pycorrector_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from pycorrector_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), k=2, num_perm=64, bands=16, threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    from pycorrector_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    from pycorrector_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    res = cosine_topk(emb, queries, k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    from pycorrector_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+def q_lm_ppl(spark, sf_dir):
+    """LM perplexity per document (rows-only: n-gram backoff LM is not
+    SQL-expressible; differential-tested vs the serial oracle in tests/)."""
+    from pycorrector_spark.operators.score import build_artifacts
+
+    bc = spark.sparkContext.broadcast(build_artifacts())
+    import pandas as pd
+
+    def fn(it):
+        art = bc.value
+        from pycorrector_spark.textops import uniform
+
+        for pdf in it:
+            ppl = art.lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppl": ppl})
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, ppl double"
+    )
+
+
+def q_pipeline_full(spark, sf_dir):
+    """Complete quality-filter pipeline (rows-only; exact parity with the
+    serial reference oracle is enforced in tests/test_pipeline.py)."""
+    from pycorrector_spark.pipeline import run_quality_pipeline
+
+    docs = _docs_as_webpages(spark, sf_dir)
+    return run_quality_pipeline(spark, docs).select(
+        "url", "lang_id", "keep", "drop_reason", "ppl", "n_errors", "scrubbed_text"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> feature vector (stubbed
+    deterministic decode; rows-only)."""
+    from pycorrector_spark.operators.multimodal import (
+        extract_image_features,
+        make_media_table,
+    )
+
+    return extract_image_features(make_media_table(spark, 64))
+
+
+def q_rel_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rel_top_nations(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_rel_events_daily(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def q_rel_user_top_event(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_rel_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    new_sess = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "qf_quality_signals": q_quality_signals,
+        "qf_langid": q_langid,
+        "qf_keep_cheap": q_keep_cheap,
+        "qf_scrub": q_scrub,
+        "qf_sent_split": q_sent_split,
+        "qf_lm_ppl": q_lm_ppl,
+        "qf_pipeline_full": q_pipeline_full,
+        "tok_counts": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "media_features": q_media_features,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_nations": q_rel_top_nations,
+        "rel_events_daily": q_rel_events_daily,
+        "rel_user_top_event": q_rel_user_top_event,
+        "rel_sessionize": q_rel_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "qf_quality_signals": _SIGNALS_CTE + """
+            SELECT doc_id, n_chars, n_words, symbol_ratio, rep_ratio, len_ok FROM sig2
+        """,
+        "qf_langid": _SIGNALS_CTE + """
+            SELECT doc_id, lang_id, lang_conf FROM sig2
+        """,
+        "qf_keep_cheap": _SIGNALS_CTE + """
+            SELECT doc_id,
+                   reason = '' AS keep_cheap,
+                   reason AS drop_reason
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN NOT len_ok THEN 'len'
+                          WHEN symbol_ratio > 0.3 THEN 'symbol'
+                          WHEN rep_ratio > 0.6 THEN 'repetition'
+                          WHEN lang_id NOT IN ('zh','en') THEN 'lang'
+                          ELSE '' END AS reason
+              FROM sig2)
+        """,
+        "qf_scrub": """
+            SELECT doc_id,
+                   trim(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(text,
+                                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                               'https?://[^ \t\n\r<>"]+|www\\.[^ \t\n\r<>"]+', '<URL>', 'g'),
+                             '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                           '\\b(\\+?\\d{1,3}[- .])?(\\(\\d{2,4}\\)[- .])?\\d{3,4}[- .]\\d{3,4}([- .]\\d{3,4})?\\b', '<PHONE>', 'g'),
+                         '\\b\\d{15}(\\d{2}[0-9Xx])?\\b', '<ID>', 'g'),
+                       '[ \t]+', ' ', 'g'),
+                     ' ' || chr(9) || chr(10) || chr(13)) AS scrubbed_text
+            FROM documents
+        """,
+        "qf_sent_split": """
+            SELECT doc_id, unnest(list_filter(
+                     regexp_split_to_array(text, '[^一-龥a-zA-Z0-9+#&]+'),
+                     x -> x <> '')) AS frag
+            FROM documents
+        """,
+        "tok_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]+'), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[一-龥]|[^A-Za-z0-9一-龥 \t\n\r]')) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       [unicode(c)::BIGINT for c in
+                        list_filter(regexp_split_to_array(lower(text), ''), x -> x <> '')]),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'), x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS shingles
+              FROM words WHERE len(w) >= 2),
+            sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+            inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_top_nations": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rel_events_daily": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "rel_user_top_event": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "rel_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+    }

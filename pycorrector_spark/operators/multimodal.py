@@ -1,0 +1,94 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image_batch`` raises NotImplementedError unless
+``deterministic_fake=True``, in which case it produces a seeded fake
+feature vector derived from the binary's bytes — so the Spark-side
+plumbing (schema, Arrow batch shape, partitioning, UDF signature) is real
+and tested end-to-end while the codec is swappable.
+
+Pattern for production: put the real decoder (PIL/torchvision/ffmpeg)
+behind the same `mapInPandas` signature; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, mime string, width int, height int, payload binary"
+)
+
+FEATURE_DIM = 16
+
+
+def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads with metadata)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w = int(rng.integers(16, 256))
+        h = int(rng.integers(16, 256))
+        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        rows.append((i, "image/png" if i % 3 else "image/jpeg", w, h, payload))
+    pdf = pd.DataFrame(rows, columns=["media_id", "mime", "width", "height", "payload"])
+    return spark.createDataFrame(pdf)
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic pseudo-features: sha256-seeded uniform vector."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.random(dim)
+
+
+def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list:
+    """Decode a batch of image binaries to feature vectors.
+
+    Real decode requires an image library not present in this container.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; run with deterministic_fake=True "
+            "or install a codec and swap this function"
+        )
+    return [_fake_features(p) for p in payloads]
+
+
+def extract_image_features(
+    df: DataFrame, payload_col: str = "payload", deterministic_fake: bool = True
+) -> DataFrame:
+    """(media_id, mime, features array<double>) via Arrow-batched decode.
+
+    Partitioning note: media tables are wide (payload bytes dominate);
+    keep maxRecordsPerBatch modest so Arrow batches stay under a few
+    hundred MB at production payload sizes.
+    """
+
+    def fn(it):
+        for pdf in it:
+            feats = decode_image_batch(pdf[payload_col], deterministic_fake)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.mapInPandas(fn, "media_id long, mime string, features array<double>")
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits (media_id, frame_index) plan rows
+    without decoding — the real sampler slots into the same shape."""
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_index"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..textops import MIN_LEN, MAX_LEN
+from ..textops import MIN_LEN, MAX_LEN, SCRUB_PATTERNS, SCRUB_STRIP_CHARS
 
 WS_LIT = " \t\n\r"
 SYM_PATTERN = r"[^一-龥a-zA-Z0-9 \t\n\r]"
@@ -72,3 +72,17 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.greatest(cjk_ratio, latin_ratio))
     )
     return df.withColumn("lang_id", lang).withColumn("lang_conf", conf)
+
+
+def scrub_expr(text_col: str = "text") -> Column:
+    """Native (JVM-codegen) scrub: the same SCRUB_PATTERNS chain as the
+    pandas stage, as regexp_replace expressions. Parity with
+    textops.scrub_text is test-enforced."""
+    c = F.col(text_col)
+    for _name, pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return F.btrim(c, F.lit(SCRUB_STRIP_CHARS))
+
+
+def with_scrubbed(df: DataFrame, text_col: str = "text", out: str = "scrubbed_text") -> DataFrame:
+    return df.withColumn(out, scrub_expr(text_col))

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- cosine_topk: exact brute-force top-k, expressed with built-in
+  higher-order functions (zip_with + aggregate — JVM-side, codegen'd).
+  The query set is broadcast; the corpus is scanned once. Used as the
+  correctness baseline and for small query batches.
+- lsh_topk: random-hyperplane LSH — sign-bit bucket join, cosine only
+  within matching buckets. The scale path: bucket join shuffles
+  (id, bucket) pairs instead of the full cross product.
+- matmul_topk: numpy GEMM per partition inside mapInPandas — the
+  throughput path when the query set fits in executor memory.
+
+Determinism: hyperplanes from a fixed-seed generator; ties broken by
+neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """cosine(a, b) over two array<double> columns, left-to-right fold
+    (same accumulation order as DuckDB's list reduction -> oracle-safe)."""
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(out, _dot(ca, cb) / (_norm(ca) * _norm(cb)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) excluded. Queries are broadcast: the plan is a
+    single scan of the corpus with a BroadcastNestedLoopJoin, then a
+    per-query top-k window. At 1000 executors this scales linearly in
+    corpus size; the window shuffles only (n_queries * corpus) filtered
+    rows — for large query sets use lsh_topk / matmul_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = None,
+    n_planes: int = 12,
+    seed: int = 42,
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-bit LSH bucket id (int) from random hyperplanes — vectorized
+    numpy GEMM over Arrow batches."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = first[0]
+    planes = _hyperplanes(dim, n_planes, seed)
+    other = [c for c in df.columns]
+
+    def fn(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            bits = (mat @ planes.T) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(n_planes):
+                bucket |= bits[:, j].astype(np.int64) << j
+            out_pdf = pdf.copy()
+            out_pdf[out] = bucket
+            yield out_pdf
+
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} long"
+    return df.mapInPandas(fn, ddl)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, ranked by cosine."""
+    cb = with_lsh_bucket(
+        corpus.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    qb = with_lsh_bucket(
+        queries.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def matmul_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Throughput path: queries as a plain pandas frame captured in the UDF
+    closure (broadcast by Spark's task serialization), GEMM per partition,
+    local top-k, then a tiny global top-k reduce."""
+    qids = queries_pdf[id_col].to_numpy()
+    qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            rows = []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                mask = ids != qids[qi]
+                cand_idx = np.where(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                for t in top:
+                    rows.append((int(qids[qi]), int(ids[t]), float(col[t])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        fn, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -235,30 +235,37 @@ class MultiPatternScanner:
 # same Python `re` engine -> byte-identical output).
 # --------------------------------------------------------------------------
 
-SCRUB_RULES = [
-    # (name, compiled pattern, replacement)
-    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
-    ("url", re.compile(r"https?://[^\s<>\"]+|www\.[^\s<>\"]+"), "<URL>"),
-    ("ip", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
-    ("phone", re.compile(r"\b(?:\+?\d{1,3}[-\s.]?)?(?:\(\d{2,4}\)[-\s.]?)?\d{3,4}[-\s.]\d{3,4}(?:[-\s.]\d{3,4})?\b"), "<PHONE>"),
-    ("idnum", re.compile(r"\b\d{15}(?:\d{2}[0-9Xx])?\b"), "<ID>"),
+# Patterns are written in the common subset of Python re / Java regex /
+# RE2 (no \s, no lookaround, no backrefs) so the SAME strings drive the
+# pandas stage, the native Spark regexp_replace chain, and the DuckDB
+# oracle. Order matters (url before ip, ip before phone).
+SCRUB_PATTERNS = [
+    # (name, pattern string, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n\r<>\"]+|www\.[^ \t\n\r<>\"]+", "<URL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b(\+?\d{1,3}[- .])?(\(\d{2,4}\)[- .])?\d{3,4}[- .]\d{3,4}([- .]\d{3,4})?\b", "<PHONE>"),
+    ("idnum", r"\b\d{15}(\d{2}[0-9Xx])?\b", "<ID>"),
+    ("ws_collapse", r"[ \t]+", " "),
 ]
 
-_WS_COLLAPSE = re.compile(r"[ \t\f\v]+")
+SCRUB_RULES = [(n, re.compile(p), r) for n, p, r in SCRUB_PATTERNS]
+
+SCRUB_STRIP_CHARS = " \t\n\r"
 
 
 def scrub_text(s: str) -> str:
-    """Apply PII scrub rules then collapse horizontal whitespace runs."""
+    """Apply PII scrub rules then strip — frozen scrub semantics."""
     for _name, pat, repl in SCRUB_RULES:
         s = pat.sub(repl, s)
-    return _WS_COLLAPSE.sub(" ", s).strip()
+    return s.strip(SCRUB_STRIP_CHARS)
 
 
 def scrub_series(s: pd.Series) -> pd.Series:
     """Vectorized scrub over a string Series (same `re` engine as scalar)."""
     for _name, pat, repl in SCRUB_RULES:
         s = s.str.replace(pat, repl, regex=True)
-    return s.str.replace(_WS_COLLAPSE, " ", regex=True).str.strip()
+    return s.str.strip(SCRUB_STRIP_CHARS)
 
 
 # --------------------------------------------------------------------------
