@@ -18,10 +18,12 @@ class PipelineConfig:
     mad_ratio: float = 0.6745          # detector.py:331
     mad_threshold: float = 2.0         # detector.py:331
     # The reference default is 57.0 (corrector.py:223,264), calibrated to
-    # pretrained KenLM's ppl scale (hundreds-thousands). Our fixture LM is
-    # trained on the clean corpus itself, so ppls are tiny; 5.0 is the
-    # equivalent operating point. The constant is config, not code.
-    ppl_rerank_threshold: float = 5.0
+    # pretrained KenLM's ppl scale (hundreds-thousands, ~5-20% relative).
+    # Our fixture LM is trained on the clean corpus itself, so ppls sit in
+    # 1-10; 1.0 is the equivalent relative operating point (a 5.0 window
+    # would be ~400% relative and swallow real corrections). The constant
+    # is config, not code.
+    ppl_rerank_threshold: float = 1.0
     enable_char_error: bool = True
     enable_word_error: bool = True
 

@@ -158,8 +158,15 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) — vectorized numpy inside mapInPandas."""
-    sh = with_shingles(df, id_col, text_col, k)
+    """(id, sig array<long>) — vectorized numpy inside mapInPandas.
+
+    Docs with no shingles (shorter than k words) are excluded: they have
+    no MinHash signature, and keeping them would make every empty doc an
+    LSH candidate of every other (zero signatures collide in all bands —
+    a quadratic blowup at web scale and a divide-by-zero in the exact
+    Jaccard verification).
+    """
+    sh = with_shingles(df, id_col, text_col, k).filter(F.size("shingles") > 0)
     a, b = _minhash_params(num_perm, seed)
 
     def fn(it):
@@ -265,7 +272,8 @@ def simhash64(
                     out[i] = 0
                     continue
                 hs = np.array([_shingle_hash64(w) for w in words], dtype=np.uint64)
-                bits = (hs.reshape(-1, 1) >> bit_idx) & np.uint64(1)
+                bits = ((hs.reshape(-1, 1) >> bit_idx) & np.uint64(1)).astype(np.int64)
+                # signed arithmetic: uint64 would wrap for minority-vote bits
                 votes = bits.sum(axis=0) * 2 - len(words)
                 sim = np.uint64(0)
                 for j in np.where(votes > 0)[0]:

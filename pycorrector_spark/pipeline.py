@@ -97,11 +97,19 @@ def audit_frame(scored: DataFrame, run_id: str = None) -> DataFrame:
 
 
 def write_outputs(scored: DataFrame, out_dir: str, run_id: str = None) -> None:
-    """Write docs_out + audit parquet sinks."""
-    scored = scored.cache()
+    """Write docs_out + audit parquet sinks.
+
+    ``localCheckpoint(eager)`` (not cache) is load-bearing: on resume,
+    ``scored``'s lineage reads docs_out (the anti-join), and appending to
+    docs_out invalidates any cache built on that path — a plain cache would
+    silently recompute the audit against the already-extended output and
+    produce an EMPTY audit. Checkpointing cuts the lineage first.
+    On a cluster this pins one materialized copy in executor storage for
+    the duration of the two writes, then releases it.
+    """
+    scored = scored.localCheckpoint(eager=True)
     scored.drop("errors", "corrections").write.mode("append").parquet(f"{out_dir}/docs_out")
     audit_frame(scored, run_id).write.mode("append").parquet(f"{out_dir}/audit")
-    scored.unpersist()
 
 
 def run_with_resume(

@@ -1,0 +1,101 @@
+"""LM contract tests — the KenLM-equivalent semantics the detector relies on
+(reference detector.py:268-284, tests/kenlm_test.py).
+"""
+
+import numpy as np
+import pytest
+
+from pycorrector_spark.fixtures import lm_corpus
+from pycorrector_spark.lm.model import mad_outlier_indices, train_char_lm
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return train_char_lm(lm_corpus())
+
+
+def test_training_deterministic():
+    a = train_char_lm(lm_corpus())
+    b = train_char_lm(lm_corpus())
+    assert a.vocab == b.vocab
+    np.testing.assert_array_equal(a.keys3, b.keys3)
+    np.testing.assert_array_equal(a.p3, b.p3)
+
+
+def test_score_is_sum_of_log10_probs(lm):
+    # probabilities, so scores are negative and longer strings score lower
+    s = "少先队员应该为老人让座"
+    sc = lm.score_chars(s)
+    assert sc < 0.0
+    assert lm.score_chars(s + s) < sc
+
+
+def test_score_empty(lm):
+    assert lm.score_chars("") == 0.0
+
+
+def test_ppl_plus_one_token_convention(lm):
+    # ppl = 10^(-score(bos,eos)/(n+1)) — kenlm's </s> counts as a token
+    # (reference tests/kenlm_test.py:46-49: full_scores yields len+1 entries)
+    s = "我的家乡是有名的鱼米之乡"
+    total = lm.score_chars(s, bos=True, eos=True)
+    expect = 10.0 ** (-total / (len(s) + 1))
+    assert lm.perplexity_chars(s) == pytest.approx(expect, rel=1e-12)
+
+
+def test_ppl_batch_bitwise_matches_scalar(lm):
+    texts = ["少先队员应该为老人让座", "中国人工智能布局很不错", "abc", "一"]
+    batch = lm.ppl_batch(texts)
+    for t, b in zip(texts, batch):
+        assert float(b) == lm.perplexity_chars(t)
+
+
+def test_clean_scores_lower_ppl_than_corrupted(lm):
+    # reference detector_test.py:78-89 asserts exactly this ordering
+    clean = "少先队员应该为老人让座"
+    corrupt = "少先队员因该为老人让坐"
+    assert lm.perplexity_chars(clean) < lm.perplexity_chars(corrupt)
+
+
+def test_oov_hits_unk_not_crash(lm):
+    p = lm.perplexity_chars("ᚠᚢᚦ")  # runes: all OOV
+    assert np.isfinite(p) and p > 0
+
+
+def test_window_avg_scores_shape_and_identity(lm):
+    s = "我的家乡是有名的鱼米之乡"
+    scores = lm.window_avg_scores(s)
+    assert scores is not None and len(scores) == len(s)
+    # identity check: window scores derive from the same conditionals as
+    # score_chars over each n-gram
+    ids = lm.encode(s)
+    w2_direct = np.array(
+        [lm.score_chars(s[i:i + 2]) for i in range(len(s) - 1)]
+    )
+    w2_vec = lm.uni(ids[:-1]) + lm.cond2(ids[:-1], ids[1:])
+    np.testing.assert_allclose(w2_vec, w2_direct, rtol=1e-12)
+
+
+def test_window_avg_too_short_returns_none(lm):
+    assert lm.window_avg_scores("一") is None
+    assert lm.window_avg_scores("") is None
+
+
+def test_corrupted_char_scores_below_neighbors(lm):
+    clean = "一只小渔船浮在平静的河面上"
+    corrupt = clean.replace("静", "净")
+    sc = lm.window_avg_scores(corrupt)
+    i = corrupt.index("净")
+    flagged = mad_outlier_indices(sc)
+    assert i in flagged
+
+
+def test_mad_outlier_rule():
+    # flags only low-side outliers beyond 2 MADs (detector.py:330-355)
+    scores = np.array([-1.0, -1.1, -0.9, -1.05, -9.0])
+    assert mad_outlier_indices(scores) == [4]
+    # high-side outlier is NOT flagged
+    scores_hi = np.array([-1.0, -1.1, -0.9, -1.05, 5.0])
+    assert mad_outlier_indices(scores_hi) == []
+    # zero MAD -> no flags
+    assert mad_outlier_indices(np.array([1.0, 1.0, 1.0])) == []

@@ -1,0 +1,224 @@
+"""Training-data operators: dedup / similarity / textstats / multimodal,
+differential-tested against brute-force pandas/numpy on small frames.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pycorrector_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from pycorrector_spark.operators.similarity import cosine_topk, lsh_topk, matmul_topk
+from pycorrector_spark.operators.textstats import (
+    fingerprint_py,
+    with_fingerprint,
+    with_token_counts,
+)
+from pycorrector_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_image_features,
+    make_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),        # near dup
+        (3, "completely different text about spark pipelines here"),
+        (4, "another unrelated document mentioning data quality"),
+        (5, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (6, ""),
+        (7, "short one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _true_jaccard(a: str, b: str, k: int = 3):
+    def sh(t):
+        w = [x for x in t.lower().split() if x]
+        return set(" ".join(w[i:i + k]) for i in range(len(w) - k + 1))
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups(spark, dup_df):
+    got = {r["text_md5"]: (r["keeper_id"], r["n_dups"]) for r in exact_dedup_groups(dup_df).collect()}
+    md5 = hashlib.md5("the quick brown fox jumps over the lazy dog".encode()).hexdigest()
+    assert got[md5] == (0, 2)       # min-id keeper, 2 copies
+    assert len(got) == 7            # 8 rows, one exact dup
+
+
+def test_exact_dedup_keep(spark, dup_df):
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep(dup_df).collect())
+    assert kept == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_jaccard_pairs_match_bruteforce(spark, dup_df):
+    texts = {r["doc_id"]: r["text"] for r in dup_df.collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(dup_df, k=3, threshold=0.3).collect()}
+    want = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = _true_jaccard(texts[i], texts[j], 3)
+                if jac >= 0.3:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key])
+
+
+def test_minhash_signature_estimates_jaccard(spark, dup_df):
+    sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+            minhash_signatures(dup_df, k=3, num_perm=128).collect()}
+    texts = {r["doc_id"]: r["text"] for r in dup_df.collect()}
+    est = float(np.mean(sigs[0] == sigs[2]))
+    true = _true_jaccard(texts[0], texts[2], 3)
+    assert abs(est - true) < 0.2
+    # identical docs -> identical signatures
+    assert (sigs[0] == sigs[1]).all()
+
+
+def test_minhash_lsh_finds_exact_dups(spark, dup_df):
+    cands = minhash_lsh_candidates(
+        minhash_signatures(dup_df, k=3, num_perm=64), bands=16, rows_per_band=4
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 1) in pairs
+
+
+def test_minhash_dedup_pairs_verified(spark, dup_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           minhash_dedup_pairs(dup_df, k=3, num_perm=64, bands=16, threshold=0.5).collect()}
+    # the exact dup pair must survive with jaccard 1.0
+    assert got[(0, 1)] == pytest.approx(1.0)
+    # every reported jaccard is the EXACT value (verification step)
+    texts = {r["doc_id"]: r["text"] for r in dup_df.collect()}
+    for (i, j), jac in got.items():
+        assert jac == pytest.approx(_true_jaccard(texts[i], texts[j], 3))
+
+
+def test_simhash_properties(spark, dup_df):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash64(dup_df).collect()}
+    assert hs[0] == hs[1]             # identical text -> identical hash
+    assert hs[6] == 0                 # empty text
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    # near-dup closer than unrelated
+    assert hamming(hs[0], hs[2]) < hamming(hs[0], hs[3])
+
+
+def test_simhash_near_pairs(spark, dup_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(simhash64(dup_df), max_distance=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+# -- similarity search --
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float64)
+    vecs[1] = 1.1 * vecs[0]   # same direction: cosine 1.0, identical LSH buckets
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [list(map(float, v)) for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _brute_topk(vecs, qids, k):
+    norms = np.linalg.norm(vecs, axis=1)
+    want = {}
+    for q in qids:
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        order = sorted(((-sims[i], i) for i in range(len(vecs)) if i != q))
+        want[q] = [(i, -s) for s, i in order[:k]]
+    return want
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 4)
+    got = cosine_topk(df, queries, k=3).collect()
+    want = _brute_topk(vecs, range(4), 3)
+    for r in got:
+        wid, wcos = want[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == wid
+        assert r["cosine"] == pytest.approx(wcos, rel=1e-9)
+
+
+def test_matmul_topk_matches_exact(spark, emb_df):
+    df, vecs = emb_df
+    qpdf = pd.DataFrame({"vec_id": [0, 1, 2, 3],
+                         "embedding": [list(map(float, vecs[i])) for i in range(4)]})
+    got = matmul_topk(df, qpdf, k=3).collect()
+    want = _brute_topk(vecs, range(4), 3)
+    for r in got:
+        wid, wcos = want[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == wid
+        assert r["cosine"] == pytest.approx(wcos, rel=1e-9)
+
+
+def test_lsh_topk_is_subset_ranked_by_true_cosine(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 4)
+    got = lsh_topk(df, queries, k=3, n_planes=4).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    for r in got:
+        true_cos = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]]
+                         / (norms[r["query_id"]] * norms[r["neighbor_id"]]))
+        assert r["cosine"] == pytest.approx(true_cos, rel=1e-9)
+    # the engineered near-twin (0,1) shares every bucket at this dimension
+    assert any(r["query_id"] == 0 and r["neighbor_id"] == 1 for r in got)
+
+
+# -- textstats --
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world 123"), (1, "中文测试 abc"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in with_token_counts(df).collect()}
+    assert got[0] == (3, 3)         # hello, world, 123
+    assert got[1] == (2, 5)         # 4 cjk chars + abc
+    assert got[2] == (0, 0)
+
+
+def test_fingerprint_matches_python(spark, docs_pdf):
+    sample = docs_pdf.head(50)[["text"]].reset_index(drop=True)
+    sample.insert(0, "doc_id", range(50))
+    df = spark.createDataFrame(sample)
+    got = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    for i, t in enumerate(sample["text"]):
+        assert got[i] == fingerprint_py(t)
+
+
+# -- multimodal plumbing --
+
+def test_media_features_shape_and_determinism(spark):
+    feats = extract_image_features(make_media_table(spark, 16)).collect()
+    assert len(feats) == 16
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+    again = extract_image_features(make_media_table(spark, 16)).collect()
+    a = {r["media_id"]: list(r["features"]) for r in feats}
+    b = {r["media_id"]: list(r["features"]) for r in again}
+    assert a == b

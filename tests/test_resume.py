@@ -1,0 +1,46 @@
+"""Checkpoint-resume: kill after part of the input is written, restart,
+verify no duplicated and no missing urls (SURVEY.md §5 item 5).
+"""
+
+import pytest
+
+from pycorrector_spark.pipeline import run_quality_pipeline, run_with_resume, write_outputs
+
+
+def test_resume_no_dups_no_gaps(spark, docs_pdf, tmp_path):
+    out_dir = str(tmp_path / "out")
+    docs = spark.createDataFrame(docs_pdf)
+
+    # simulate a run that died after processing an arbitrary half
+    first_half = docs.limit(140)
+    scored = run_quality_pipeline(spark, first_half)
+    write_outputs(scored, out_dir, run_id="run1")
+
+    n_done = spark.read.parquet(f"{out_dir}/docs_out").count()
+    assert n_done == 140
+
+    # restart over the FULL input: only the remainder is processed
+    run_with_resume(spark, docs, out_dir)
+
+    result = spark.read.parquet(f"{out_dir}/docs_out")
+    assert result.count() == len(docs_pdf)           # no gaps
+    assert result.select("url").distinct().count() == len(docs_pdf)  # no dups
+
+    # audit table has rows from both runs
+    audit = spark.read.parquet(f"{out_dir}/audit")
+    assert audit.select("run_id").distinct().count() == 2
+
+
+def test_resume_on_fresh_dir(spark, docs_pdf, tmp_path):
+    out_dir = str(tmp_path / "fresh")
+    docs = spark.createDataFrame(docs_pdf).limit(50)
+    run_with_resume(spark, docs, out_dir)
+    assert spark.read.parquet(f"{out_dir}/docs_out").count() == 50
+
+
+def test_resume_idempotent_when_complete(spark, docs_pdf, tmp_path):
+    out_dir = str(tmp_path / "idem")
+    docs = spark.createDataFrame(docs_pdf).limit(60)
+    run_with_resume(spark, docs, out_dir)
+    run_with_resume(spark, docs, out_dir)   # second run: nothing to do
+    assert spark.read.parquet(f"{out_dir}/docs_out").count() == 60

@@ -1,0 +1,165 @@
+"""Unit tests for the pure text primitives (textops.py).
+
+Differential strategy follows the reference's tests/test_util.py: exact
+asserts on the scalar functions, plus scalar-vs-vectorized agreement so the
+Arrow-batched stages provably compute the same values.
+"""
+
+import pandas as pd
+import pytest
+
+from pycorrector_spark.textops import (
+    is_cjk_char,
+    is_cjk_string,
+    is_filter_token,
+    lang_id,
+    max_match_tokens,
+    quality_signals,
+    scrub_series,
+    scrub_text,
+    split_sentences_by_length,
+    split_sentences_by_symbol,
+    string_b2q,
+    string_q2b,
+    uniform,
+    uniform_series,
+    MultiPatternScanner,
+)
+
+
+# -- width folding (reference text_utils.py:50-81) --
+
+def test_q2b_folds_fullwidth_ascii():
+    assert string_q2b("ＡＢＣ１２３") == "ABC123"
+    assert string_q2b("　") == " "          # ideographic space
+    assert string_q2b("中文不变") == "中文不变"
+
+
+def test_b2q_roundtrip():
+    s = "Hello, World! 123"
+    assert string_q2b(string_b2q(s)) == s
+
+
+def test_uniform_is_q2b_then_lower():
+    assert uniform("ＡＢＣ ＸyＺ") == "abc xyz"
+    assert uniform("中文ＡＢＣ！") == "中文abc!"
+
+
+def test_uniform_series_matches_scalar():
+    texts = ["ＡＢＣ１２３", "中文Ｍixed！", "", "plain ascii", "　！"]
+    got = uniform_series(pd.Series(texts)).tolist()
+    assert got == [uniform(t) for t in texts]
+
+
+# -- char classes (reference text_utils.py:15-47, detector.py:374-394) --
+
+def test_char_classes():
+    assert is_cjk_char("中") and not is_cjk_char("a")
+    assert is_cjk_string("中文") and not is_cjk_string("中a")
+    assert not is_cjk_string("")
+
+
+@pytest.mark.parametrize("token,expected", [
+    ("", True), ("  ", True), ("123", True), ("abc", True), ("ABC", True),
+    ("中文", False), ("中a", True), ("中", False),
+])
+def test_is_filter_token(token, expected):
+    assert is_filter_token(token) is expected
+
+
+# -- sentence splitting (reference tokenizer.py:18-55) --
+
+def test_split_by_symbol_reassembles():
+    text = "你好！我是张爱文。abc 123，下一句"
+    frags = split_sentences_by_symbol(text, include_symbol=True)
+    assert "".join(f for f, _ in frags) == text
+    # start indices are global offsets
+    for frag, idx in frags:
+        assert text[idx: idx + len(frag)] == frag
+
+
+def test_split_by_symbol_content_only():
+    frags = split_sentences_by_symbol("你好！abc，123", include_symbol=False)
+    assert [f for f, _ in frags] == ["你好", "abc", "123"]
+    assert [i for _, i in frags] == [0, 3, 7]
+
+
+def test_split_keeps_plus_hash_amp():
+    frags = split_sentences_by_symbol("C++和C#还有A&B", include_symbol=False)
+    assert [f for f, _ in frags] == ["C++和C#还有A&B"]
+
+
+def test_split_by_length_positions():
+    # reference test_util.py asserts fixed-width chunks with offsets
+    frags = split_sentences_by_length("abcdefghij", 4)
+    assert frags == [("abcd", 0), ("efgh", 4), ("ij", 8)]
+
+
+# -- max-match segmentation --
+
+def test_max_match_prefers_longest():
+    words = {"少先队员", "应该", "老人", "让座", "少先"}
+    toks = max_match_tokens("少先队员应该为老人让座", words)
+    assert [t for t, _, _ in toks] == ["少先队员", "应该", "为", "老人", "让座"]
+    # spans tile the sentence
+    assert toks[0][1] == 0 and toks[-1][2] == len("少先队员应该为老人让座")
+
+
+def test_max_match_keeps_latin_runs_whole():
+    toks = max_match_tokens("abc123中def", {"中"})
+    assert [t for t, _, _ in toks] == ["abc123", "中", "def"]
+
+
+# -- multi-pattern scanner (behavioral stand-in for ahocorasick .iter) --
+
+def test_scanner_finds_all_overlapping():
+    sc = MultiPatternScanner(["ab", "abc", "bc"])
+    hits = sc.iter_matches("xabcx")
+    assert set(hits) == {(2, "ab"), (3, "abc"), (3, "bc")}
+    # end-index order
+    assert [h[0] for h in hits] == sorted(h[0] for h in hits)
+
+
+def test_scanner_empty():
+    assert MultiPatternScanner([]).iter_matches("abc") == []
+
+
+# -- scrub (frozen PII rules) --
+
+def test_scrub_email_url_ip_phone():
+    assert scrub_text("mail john.doe@example.com ok") == "mail <EMAIL> ok"
+    assert scrub_text("go https://x.example/p?q=1 now") == "go <URL> now"
+    assert scrub_text("ip 192.168.10.25 up") == "ip <IP> up"
+    assert scrub_text("call 555-0123-4567 now") == "call <PHONE> now"
+
+
+def test_scrub_collapses_ws_and_strips():
+    assert scrub_text("  a\t\tb  ") == "a b"
+
+
+def test_scrub_series_matches_scalar(docs_pdf):
+    got = scrub_series(docs_pdf["text"]).tolist()
+    assert got == [scrub_text(t) for t in docs_pdf["text"]]
+
+
+# -- quality signals + langid (frozen rules) --
+
+def test_quality_signals_basic():
+    q = quality_signals("hello world hello")
+    assert q["n_chars"] == 17 and q["n_words"] == 3
+    assert q["rep_ratio"] == pytest.approx(1 - 2 / 3)
+    assert q["len_ok"]
+
+
+def test_quality_signals_degenerate():
+    q = quality_signals("")
+    assert q["symbol_ratio"] == 1.0 and q["rep_ratio"] == 1.0 and not q["len_ok"]
+    q2 = quality_signals(" _ ,")   # reference detector_test.py:65 degenerate row
+    assert not q2["len_ok"]
+
+
+def test_lang_id_rule():
+    assert lang_id("这是一个中文句子")[0] == "zh"
+    assert lang_id("this is an english sentence")[0] == "en"
+    assert lang_id("12345 67890")[0] == "und"
+    assert lang_id("")[0] == "und"
