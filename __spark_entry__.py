@@ -229,6 +229,8 @@ def q_lm_ppl(spark, sf_dir):
     SQL-expressible; differential-tested vs the serial oracle in tests/)."""
     from pycorrector_spark.operators.score import build_artifacts
 
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
     bc = spark.sparkContext.broadcast(build_artifacts())
     import pandas as pd
 
@@ -240,7 +242,7 @@ def q_lm_ppl(spark, sf_dir):
             ppl = art.lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppl": ppl})
 
-    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
         fn, "doc_id long, ppl double"
     )
 

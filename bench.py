@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Modes:
+    python bench.py                      # headline suite, one JSON line
+    python bench.py --pipeline-only      # just the quality-filter pipeline
+    python bench.py --scaling            # N vs 4N cores (8 vs 32) scaling
+                                         # run; writes BENCH/BASELINE.md
+
+Timing methodology: each query materializes fully via a noop-format write
+(forces every column, no sink cost). A warm-up query initializes the JVM
+and the Python worker pool first, so timings are steady-state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries():
+    """Headline query set: name -> callable(spark, sf_dir) -> DataFrame.
+
+    Mostly the driver-contract queries; dedup_minhash uses a production-ish
+    config (k=3 shingles, 128 perms, threshold 0.7) instead of the tiny
+    oracle config, so the benchmark reflects the scale path.
+    """
+    import __spark_entry__ as E
+    from pycorrector_spark.operators.dedup import minhash_dedup_pairs
+
+    q = E.queries()
+
+    def minhash_bench(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_dedup_pairs(docs, k=3, num_perm=128, bands=16, threshold=0.7)
+
+    return {
+        "qf_pipeline_full": q["qf_pipeline_full"],
+        "qf_quality_signals": q["qf_quality_signals"],
+        "qf_scrub": q["qf_scrub"],
+        "qf_lm_ppl": q["qf_lm_ppl"],
+        "tok_counts": q["tok_counts"],
+        "dedup_exact": q["dedup_exact"],
+        "dedup_minhash": minhash_bench,
+        "dedup_simhash": q["dedup_simhash"],
+        "ann_cosine_topk": q["ann_cosine_topk"],
+        "rel_pricing_summary": q["rel_pricing_summary"],
+        "rel_top_nations": q["rel_top_nations"],
+        "rel_sessionize": q["rel_sessionize"],
+    }
+
+
+def _make_spark(cpus: int):
+    from pycorrector_spark.session import get_spark
+
+    return get_spark("bench", master=f"local[{cpus}]")
+
+
+def run_pipeline_replicated(sf_dir: str, cpus: int, replicate: int) -> dict:
+    """Scaling workload: the quality pipeline over the docs table replicated
+    ``replicate``x (distinct urls). The sf0.1 table alone finishes in ~2 s,
+    where per-job fixed costs (scheduling, broadcast, Arrow pool spin-up)
+    swamp the compute and no parallelism level can show scaling; the
+    replicated input makes the run compute-bound, which is the regime the
+    north rule's N-vs-4N criterion describes."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _docs_as_webpages
+    from pycorrector_spark.operators.score import build_artifacts
+    from pycorrector_spark.pipeline import run_quality_pipeline
+
+    spark = _make_spark(cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # broadcast built once (driver-side artifact build is setup, not
+    # steady-state throughput); input repartitioned BEFORE the replicate
+    # cross-join so the expansion itself runs in parallel, then cached so
+    # every timed run reads identical in-memory input.
+    bc = spark.sparkContext.broadcast(build_artifacts())
+    parts = max(64, 4 * cpus)
+    docs = _docs_as_webpages(spark, sf_dir).repartition(parts, F.xxhash64("url"))
+    big = (
+        docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .withColumn("url", F.concat_ws("#", "url", "rep"))
+        .drop("rep")
+    ).persist()
+    n_docs = big.count()
+    # warm-up pass primes the Python worker pool
+    _materialize(run_quality_pipeline(spark, big, repartition=0, bc=bc))
+    sec = None
+    for _ in range(3):
+        t0 = time.time()
+        _materialize(run_quality_pipeline(spark, big, repartition=0, bc=bc))
+        el = round(time.time() - t0, 3)
+        sec = el if sec is None else min(sec, el)
+    spark.stop()
+    return {
+        "metric": "pipeline_replicated",
+        "value": sec,
+        "unit": "sec",
+        "queries": {"qf_pipeline_full": sec},
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "pipeline_docs_per_sec": round(n_docs / sec, 1),
+    }
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
+    spark = _make_spark(cpus)
+    qs = bench_queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    # warm-up: JVM codegen + the 32-process Python worker pool + broadcast
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    first = next(iter(qs.values()))
+    _materialize(first(spark, sf_dir))
+
+    timings = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_docs": n_docs,
+    }
+    if "qf_pipeline_full" in timings and timings["qf_pipeline_full"] > 0:
+        result["pipeline_docs_per_sec"] = round(n_docs / timings["qf_pipeline_full"], 1)
+    return result
+
+
+def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: int = 128) -> dict:
+    """Same job on IDENTICAL input at N and 4N cores in fresh JVMs (sandbox
+    stand-in for N vs 4N executors, per BASELINE.json north_rule); writes
+    BENCH/BASELINE.md."""
+    rows = {}
+    for cpus in (n_cores, n4_cores):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-replicated",
+             "--replicate", str(replicate), "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        rows[cpus] = json.loads(line)
+
+    thr_n = rows[n_cores]["pipeline_docs_per_sec"]
+    thr_4n = rows[n4_cores]["pipeline_docs_per_sec"]
+    eff = round((thr_4n / thr_n) / (n4_cores / n_cores), 3)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            f"pipeline_local[{n_cores}]": rows[n_cores]["queries"]["qf_pipeline_full"],
+            f"pipeline_local[{n4_cores}]": rows[n4_cores]["queries"]["qf_pipeline_full"],
+        },
+        "sf": _sf_of(sf_dir),
+        "throughput_docs_per_sec": {str(n_cores): thr_n, str(n4_cores): thr_4n},
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            "# Scaling benchmark (quality-filter pipeline)\n\n"
+            "North rule: throughput scaling efficiency >= 0.8 between N and 4N\n"
+            "executors. Sandbox stand-in (single host, no cluster): the same\n"
+            f"job on identical input at local[{n_cores}] vs local[{n4_cores}] cores,\n"
+            "fresh JVM each, steady-state timing (best of 3 after worker-pool\n"
+            "warm-up; broadcast build and input cache are setup, not throughput).\n"
+            f"Input = sf docs table replicated {replicate}x (distinct urls) so the\n"
+            "run is compute-bound rather than dominated by per-job fixed costs.\n\n"
+            f"{n_cores} vs {n4_cores} (not 8 vs 32): a local[N] Python-stage job uses\n"
+            "N JVM task threads PLUS N Python workers; on this 32-core host both\n"
+            "levels must fit without oversubscription or the measurement captures\n"
+            "scheduler contention, not scaling (a real cluster sizes executor\n"
+            "cores to the machine the same way).\n\n"
+            f"| cores | pipeline sec | docs/sec |\n|---|---|---|\n"
+            f"| {n_cores} | {rows[n_cores]['queries']['qf_pipeline_full']} | {thr_n} |\n"
+            f"| {n4_cores} | {rows[n4_cores]['queries']['qf_pipeline_full']} | {thr_4n} |\n\n"
+            f"**Scaling efficiency ({n_cores}->{n4_cores} cores): {eff}**"
+            f" (target >= 0.8)\n\n"
+            f"Input: {_sf_of(sf_dir)} SF documents table"
+            f" ({rows[n_cores]['n_docs']} docs), run {time.strftime('%Y-%m-%d')}.\n"
+        )
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--pipeline-replicated", action="store_true")
+    ap.add_argument("--replicate", type=int, default=128)
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, replicate=args.replicate)
+    elif args.pipeline_replicated:
+        result = run_pipeline_replicated(args.sf_dir, args.cpus, args.replicate)
+    elif args.pipeline_only:
+        result = run_suite(args.sf_dir, args.cpus, only=["qf_pipeline_full"])
+    else:
+        result = run_suite(args.sf_dir, args.cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

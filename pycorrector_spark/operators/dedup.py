@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"[ \t\n\r]+"
 
+
+def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
+    """Round-robin repartition when the scan produced too few partitions.
+
+    Small parquet inputs arrive as 1 split, which would serialize every
+    downstream Arrow/Python stage onto one core. At 100 TB the scan
+    yields thousands of splits and this is a no-op.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -59,7 +73,13 @@ def _words_col(text_col: str):
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Add `shingles`: distinct k-word shingles (space-joined, lowercase)."""
+    """Add `shingles`: distinct k-word shingles (space-joined, lowercase).
+
+    Kept for oracle parity / debugging (string shingles). The hot paths use
+    ``with_shingle_hashes``: Spark higher-order functions are interpreted
+    per element (no codegen), so building shingle strings JVM-side costs
+    ~50µs/shingle vs <1µs in an Arrow-batched Python pass.
+    """
     w = _words_col(text_col)
     shingles = F.when(
         F.size(w) >= k,
@@ -73,6 +93,51 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     return df.select(F.col(id_col), shingles.alias("shingles"))
 
 
+def _blake2b64(s: str) -> int:
+    """Deterministic 64-bit shingle hash (C-speed, seed-independent)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def with_shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle_hashes array<long>): distinct k-word shingle hashes.
+
+    One Arrow pass: tokenize + shingle + blake2b-64 in Python (hashes are
+    signed int64 views of the unsigned value). Rows with < k words are
+    dropped (no shingles -> not a dedup candidate; see minhash note).
+    """
+
+    def fn(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col].fillna("")):
+                words = [w for w in t.lower().split() if w]
+                if len(words) < k:
+                    continue
+                sh = dict.fromkeys(
+                    " ".join(words[j: j + k]) for j in range(len(words) - k + 1)
+                )
+                ids.append(i)
+                hashes.append(
+                    np.array([_blake2b64(s) for s in sh], dtype=np.uint64).view(np.int64)
+                )
+            # explicit dtypes: an empty partition would otherwise yield
+            # float64 columns Arrow can't cast to long / list<long>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "shingle_hashes": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        fn, f"{id_col} long, shingle_hashes array<long>"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -83,10 +148,14 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs via shingle inverted-index self-join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    The join key is the 64-bit shingle hash, so the shuffle carries
+    (id, int64) rows instead of shingle strings.
     """
-    sh = with_shingles(df, id_col, text_col, k)
+    sh = with_shingle_hashes(df, id_col, text_col, k)
     sized = sh.select(
-        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("n_sh")
+        F.col(id_col).alias("id"),
+        F.col("shingle_hashes").alias("shingles"),
+        F.size("shingle_hashes").alias("n_sh"),
     ).filter(F.col("n_sh") > 0)
     inv = sized.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     a = inv.alias("a")
@@ -113,14 +182,20 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 _MAX_HASH = np.uint64((1 << 32) - 1)
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    """Multiply-shift universal-hash parameters (odd multipliers).
+
+    h_i(x) = ((a_i * x + b_i) mod 2^64) >> 32 — wrap-around uint64
+    arithmetic only (mul/add/shift), no modulo: a vectorized 64-bit `%`
+    is ~20x slower in numpy and MinHash only needs a uniform family,
+    not an exact Mersenne permutation.
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -136,17 +211,44 @@ def _shingle_hash64(shingle: str) -> int:
 
 
 def _minhash_batch(shingle_lists, a, b):
-    """MinHash signatures for a batch: list of uint64 arrays -> int64 matrix."""
+    """MinHash signatures for a batch: list of uint64 arrays -> int64 matrix.
+
+    Flattens the whole batch into one (total_shingles, num_perm) permute-
+    hash pass + per-row min via reduceat — one numpy dispatch per batch,
+    not one per document.
+    """
     num_perm = len(a)
-    out = np.empty((len(shingle_lists), num_perm), dtype=np.int64)
-    for i, hashes in enumerate(shingle_lists):
-        if len(hashes) == 0:
-            out[i] = np.zeros(num_perm, dtype=np.int64)
-            continue
-        x = hashes.reshape(-1, 1)  # (n_shingles, 1) uint64
-        # (a*x + b) mod mersenne, folded to 32 bits
-        hv = (x * a + b) % _MERSENNE & _MAX_HASH
-        out[i] = hv.min(axis=0).astype(np.int64)
+    n = len(shingle_lists)
+    out = np.zeros((n, num_perm), dtype=np.int64)
+    lens = np.array([len(h) for h in shingle_lists], dtype=np.int64)
+    nz = np.where(lens > 0)[0]
+    if len(nz) == 0:
+        return out
+    flat = np.concatenate([shingle_lists[i] for i in nz])
+    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    # one reused buffer + in-place ops: the naive composite expression
+    # allocates three (total_shingles x num_perm) temporaries and becomes
+    # allocation-bound (~10x slower). Chunked so peak extra memory stays
+    # ~128 MB regardless of Arrow batch size.
+    chunk = max(1, (1 << 24) // num_perm)  # ~16M elements per chunk
+    doc_ends = np.concatenate((starts[1:], [len(flat)]))
+    buf = np.empty((min(chunk, len(flat)), num_perm), dtype=np.uint64)
+    d0 = 0
+    while d0 < len(nz):
+        d1 = d0
+        while d1 < len(nz) and doc_ends[d1] - starts[d0] <= chunk:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        seg = flat[starts[d0]: doc_ends[d1 - 1]]
+        if len(seg) > len(buf):  # single doc larger than the chunk budget
+            buf = np.empty((len(seg), num_perm), dtype=np.uint64)
+        view = buf[: len(seg)]
+        np.multiply(seg.reshape(-1, 1), a, out=view)
+        view += b
+        view >>= np.uint64(32)
+        seg_starts = starts[d0:d1] - starts[d0]
+        out[nz[d0:d1]] = np.minimum.reduceat(view, seg_starts, axis=0).astype(np.int64)
+        d0 = d1
     return out
 
 
@@ -166,20 +268,19 @@ def minhash_signatures(
     a quadratic blowup at web scale and a divide-by-zero in the exact
     Jaccard verification).
     """
-    sh = with_shingles(df, id_col, text_col, k).filter(F.size("shingles") > 0)
+    hashed = with_shingle_hashes(df, id_col, text_col, k)
     a, b = _minhash_params(num_perm, seed)
 
     def fn(it):
         for pdf in it:
             hash_lists = [
-                np.array([_shingle_hash64(s) for s in (lst if lst is not None else [])],
-                         dtype=np.uint64)
-                for lst in pdf["shingles"]
+                np.asarray(lst if lst is not None else [], dtype=np.int64).view(np.uint64)
+                for lst in pdf["shingle_hashes"]
             ]
             sigs = _minhash_batch(hash_lists, a, b)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sigs)})
 
-    return sh.mapInPandas(fn, f"{id_col} long, sig array<long>")
+    return hashed.mapInPandas(fn, f"{id_col} long, sig array<long>")
 
 
 def minhash_lsh_candidates(
@@ -204,7 +305,8 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()  # both sides of the self-join scan this; without persist the
+    # whole upstream Python signature stage runs twice
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -229,15 +331,28 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (the full scale pattern)."""
+    # persist: consumed three times (signatures + both verify sides); at
+    # web scale this is the intermediate you would materialize as a table
+    sh = with_shingle_hashes(df, id_col, text_col, k).persist()
+    a, b = _minhash_params(num_perm, seed=42)
+
+    def sig_fn(it):
+        for pdf in it:
+            hash_lists = [
+                np.asarray(lst, dtype=np.int64).view(np.uint64)
+                for lst in pdf["shingle_hashes"]
+            ]
+            sigs = _minhash_batch(hash_lists, a, b)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sigs)})
+
     cands = minhash_lsh_candidates(
-        minhash_signatures(df, id_col, text_col, k, num_perm),
+        sh.mapInPandas(sig_fn, f"{id_col} long, sig array<long>"),
         id_col,
         bands,
         num_perm // bands,
     )
-    sh = with_shingles(df, id_col, text_col, k)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
@@ -281,7 +396,9 @@ def simhash64(
                 out[i] = sim.astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(fn, f"{id_col} long, simhash long")
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        fn, f"{id_col} long, simhash long"
+    )
 
 
 def simhash_near_pairs(

@@ -36,7 +36,7 @@ class Artifacts:
     """Driver-built, broadcast-shipped model + dictionaries."""
 
     def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
-                 en_word_freq, en_confusion, cfg: PipelineConfig):
+                 en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None):
         self.lm = lm
         self.word_freq = word_freq
         self.confusion = confusion
@@ -45,20 +45,27 @@ class Artifacts:
         self.en_word_freq = en_word_freq
         self.en_confusion = en_confusion
         self.cfg = cfg
+        self.en_index = en_index
 
 
 def build_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
     """Deterministic: LM trained from the fixture corpus, dicts embedded.
     At production scale this loads ARPA/dict files staged via --files."""
+    from ..symspell import DeletesIndex
+
+    en_wf = word_freq_en()
     return Artifacts(
         lm=train_char_lm(lm_corpus()),
         word_freq=word_freq_zh(),
         confusion=dict(CONFUSION_DICT),
         similar={k: set(v) for k, v in SIMILAR_CHARS.items()},
         stopwords=set(STOPWORDS_ZH),
-        en_word_freq=word_freq_en(),
+        en_word_freq=en_wf,
         en_confusion=dict(CONFUSION_EN),
         cfg=cfg,
+        # deletes index built once here on the driver; ships as flat numpy
+        # arrays inside the broadcast (memcpy unpickle per worker)
+        en_index=DeletesIndex(sorted(en_wf)),
     )
 
 
@@ -68,7 +75,11 @@ _WORKER_CACHE = {}
 
 
 def _get_workers(bc):
-    key = id(bc)
+    # key on the STABLE broadcast identity (its spill path on workers): the
+    # Broadcast wrapper object is re-deserialized with every task closure,
+    # so keying on python id() would rebuild the Corrector (and drop the
+    # spell-cache) once per task
+    key = getattr(bc, "_path", None) or id(bc)
     if key not in _WORKER_CACHE:
         art: Artifacts = bc.value
         zh = Corrector(
@@ -79,7 +90,8 @@ def _get_workers(bc):
             similar_chars=art.similar,
             ppl_threshold=art.cfg.ppl_rerank_threshold,
         )
-        en = EnSpellCorrector(art.en_word_freq, art.en_confusion)
+        en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
+                              index=getattr(art, "en_index", None))
         _WORKER_CACHE.clear()  # only one broadcast generation alive at a time
         _WORKER_CACHE[key] = (art, zh, en)
     return _WORKER_CACHE[key]
@@ -89,7 +101,13 @@ def _get_workers(bc):
 # Batch processing (shared by the Spark stage and unit tests)
 # ---------------------------------------------------------------------------
 
+SIGNAL_SCHEMA = (
+    "n_chars long, n_words long, symbol_ratio double, rep_ratio double, "
+    "len_ok boolean, lang_id string, lang_conf double"
+)
+
 SCORE_SCHEMA_SUFFIX = (
+    SIGNAL_SCHEMA + ", "
     "ppl double, n_errors int, error_density double, "
     "errors array<struct<word:string,begin:int,end:int,type:string>>, "
     "corrected_text string, "
@@ -100,12 +118,21 @@ SCORE_SCHEMA_SUFFIX = (
 
 def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
                   cfg: PipelineConfig) -> pd.DataFrame:
-    """Compute expensive signals + decision for one Arrow batch.
+    """Compute quality signals + expensive signals + decision for one Arrow
+    batch. Expects a `text` column; everything else passes through.
 
-    Expects columns: text, lang_id, len_ok, symbol_ratio, rep_ratio, n_chars.
+    The cheap signals (length/symbol/repetition/langid) are computed here
+    too — vectorized pandas/numpy with the same `re` patterns as the
+    scalar oracle. They were originally JVM column expressions, but
+    java.util.regex anti-scales under thread parallelism in this
+    environment (see BENCH/BASELINE.md) while this path scales linearly.
     """
+    from ..textops import signals_frame
+
     n = len(pdf)
     text = pdf["text"].astype(object)
+    sig = signals_frame(pdf["text"])
+    pdf = pd.concat([pdf, sig], axis=1)
     lang = pdf["lang_id"].astype(object)
 
     cheap_pass = (
@@ -183,7 +210,8 @@ def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
 
 
 def make_score_stage(bc, input_schema_ddl: str):
-    """Build (mapInPandas function, output schema DDL) for the score stage."""
+    """Build (mapInPandas function, output schema DDL) for the one-pass
+    stage: signals + gate + LM + detect/correct + scrub + decision."""
     schema = input_schema_ddl + ", " + SCORE_SCHEMA_SUFFIX
 
     def fn(iterator):

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -116,7 +118,7 @@ def with_lsh_bucket(
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out} long"
-    return df.mapInPandas(fn, ddl)
+    return ensure_parallelism(df).mapInPandas(fn, ddl)
 
 
 def lsh_topk(
@@ -190,7 +192,7 @@ def matmul_topk(
                     rows.append((int(qids[qi]), int(ids[t]), float(col[t])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    partial = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         fn, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

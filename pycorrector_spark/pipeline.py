@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .operators.quality import with_lang_id, with_quality_columns
 from .operators.score import build_artifacts, make_score_stage
 
 
@@ -61,12 +60,13 @@ def run_quality_pipeline(
     if bc is None:
         bc = spark.sparkContext.broadcast(build_artifacts(cfg))
 
-    staged = with_lang_id(with_quality_columns(docs))
     # html is dead weight through the Python stage — drop it before the
     # Arrow exchange (column pruning the optimizer can't do for us because
-    # mapInPandas is schema-opaque).
-    cols = [c for c in staged.columns if c != "html"]
-    staged = staged.select(*cols)
+    # mapInPandas is schema-opaque). Everything (cheap signals, gate, LM,
+    # detect/correct, scrub, decision) runs in ONE Arrow pass: a single
+    # stage, no shuffle, no extra JVM<->Python exchanges.
+    cols = [c for c in docs.columns if c != "html"]
+    staged = docs.select(*cols)
     input_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields)
     fn, out_schema = make_score_stage(bc, input_ddl)
     return staged.mapInPandas(fn, out_schema)

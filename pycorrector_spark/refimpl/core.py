@@ -279,10 +279,21 @@ class EnSpellCorrector:
 
     LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
-    def __init__(self, word_freq: dict, confusion_dict: dict = None):
+    # correct_word is a pure function of the word; web corpora repeat
+    # vocabulary massively, and an OOV word costs an edits2 scan
+    # (~40k candidates), so memoize per worker. Bounded so a pathological
+    # unique-token stream can't grow executor memory without limit.
+    _CACHE_MAX = 200_000
+
+    def __init__(self, word_freq: dict, confusion_dict: dict = None, index=None):
         self.word_freq = dict(word_freq)
         self.sum_freq = sum(self.word_freq.values())
         self.confusion = dict(confusion_dict or {})
+        self._cache = {}
+        # optional SymSpell deletes index (symspell.DeletesIndex): same
+        # candidate sets as the Norvig edits scan (differential-tested),
+        # ~300x faster per OOV word; built once on the driver + broadcast
+        self.index = index
 
     def edits1(self, word):
         splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
@@ -302,6 +313,15 @@ class EnSpellCorrector:
         return self.word_freq.get(word, 0) / self.sum_freq
 
     def candidates(self, word):
+        if self.index is not None:
+            if word in self.word_freq:
+                return {word}
+            by_dist = self.index.candidates(word)
+            d1 = {w for w, d in by_dist.items() if d == 1}
+            if d1:
+                return d1
+            d2 = {w for w, d in by_dist.items() if d == 2}
+            return d2 or {word}
         return (
             self.known([word])
             or self.known(self.edits1(word))
@@ -310,6 +330,9 @@ class EnSpellCorrector:
         )
 
     def correct_word(self, word):
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
         # deterministic tie-break: lexicographic, then max probability
         cands = sorted(self.candidates(word))
         best = cands[0]
@@ -318,6 +341,8 @@ class EnSpellCorrector:
             p = self.probability(c)
             if p > best_p:
                 best, best_p = c, p
+        if len(self._cache) < self._CACHE_MAX:
+            self._cache[word] = best
         return best
 
     def correct(self, sentence: str, include_symbol: bool = True):

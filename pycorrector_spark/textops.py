@@ -314,6 +314,65 @@ def quality_signals(text: str) -> dict:
     }
 
 
+def signals_frame(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality + langid signals for an Arrow batch.
+
+    Same regexes, same Python `re` engine as the scalar forms above, so
+    values agree bitwise with quality_signals()/lang_id() by construction.
+    (The JVM column variants in operators/quality.py compute the same
+    frozen definitions for the SQL oracle; java.util.regex turned out to
+    anti-scale under thread parallelism in this environment — see
+    BENCH/BASELINE.md — so the pipeline hot path uses this form.)
+    """
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy()
+    stripped = t.str.strip(WS_CHARS)
+    n_stripped = stripped.str.len().to_numpy()
+    n_sym = t.str.count(NON_ALNUM_RE).to_numpy()
+    n_ws = t.str.count(WS_RE).to_numpy()
+    n_cjk = t.str.count(CJK_RE).to_numpy()
+    n_latin = t.str.count(LATIN_RE).to_numpy()
+
+    words = stripped.str.split(WORD_SPLIT_RE)
+    n_words = np.empty(len(t), dtype=np.int64)
+    n_distinct = np.empty(len(t), dtype=np.int64)
+    for i, w in enumerate(words):
+        w = [x for x in w if x] if w else []
+        n_words[i] = len(w)
+        n_distinct[i] = len(set(w))
+
+    symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 1.0)
+    rep_ratio = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(n_words, 1), 1.0)
+    len_ok = (n_stripped >= MIN_LEN) & (n_stripped <= MAX_LEN)
+
+    n_ns = n_chars - n_ws
+    cjk_ratio = np.where(n_ns > 0, n_cjk / np.maximum(n_ns, 1), 0.0)
+    latin_ratio = np.where(n_ns > 0, n_latin / np.maximum(n_ns, 1), 0.0)
+    lang = np.where(
+        n_ns <= 0, "und",
+        np.where(cjk_ratio >= 0.3, "zh", np.where(latin_ratio >= 0.5, "en", "und")),
+    )
+    conf = np.where(
+        n_ns <= 0, 0.0,
+        np.where(
+            cjk_ratio >= 0.3, cjk_ratio,
+            np.where(latin_ratio >= 0.5, latin_ratio, np.maximum(cjk_ratio, latin_ratio)),
+        ),
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "symbol_ratio": symbol_ratio,
+            "rep_ratio": rep_ratio,
+            "len_ok": len_ok,
+            "lang_id": lang,
+            "lang_conf": conf,
+        },
+        index=texts.index,
+    )
+
+
 def lang_id(text: str) -> tuple:
     """Heuristic language ID: (lang, confidence).
 
