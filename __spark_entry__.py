@@ -258,6 +258,119 @@ def q_pipeline_full(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
+    candidate path shares the minhash verify shape)."""
+    from pycorrector_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_zh_t2s(spark, sf_dir):
+    """Traditional -> simplified conversion (P7) over the embedded
+    single-char table — vectorized str.translate in one Arrow pass."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import t2s_series
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simp_text": t2s_series(pdf["text"])}
+            )
+
+    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, simp_text string"
+    )
+
+
+def q_homophones(spark, sf_dir):
+    """Homophone lookup (P8, get_homophones_by_char/by_pinyin): group the
+    pinyin dimension by reading, attach each char's homophone set. The
+    reference scans the whole CJK plane per call (text_utils.py:111-137);
+    here it is one agg + broadcast join over the dimension (the synthetic
+    docs corpus has no CJK chars, so the dim itself is the input)."""
+    from pycorrector_spark.dicts import PINYIN_ZH
+
+    pinyin = spark.createDataFrame(
+        [(k, v) for k, v in PINYIN_ZH.items()], "ch string, py string"
+    )
+    groups = pinyin.groupBy("py").agg(
+        F.sort_array(F.collect_set("ch")).alias("homophones")
+    )
+    return pinyin.join(F.broadcast(groups), "py").select("ch", "py", "homophones")
+
+
+def q_langid_agreement(spark, sf_dir):
+    """A5-style confusion-matrix aggregation: claimed `lang` column vs
+    computed lang_id — per-cell counts + mean confidence."""
+    from pycorrector_spark.operators.quality import with_lang_id
+
+    d = with_lang_id(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+    return d.groupBy("lang", "lang_id").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lang_conf"), 6).alias("avg_conf"),
+    )
+
+
+def q_en_spell(spark, sf_dir):
+    """English spell correction (C8, Norvig semantics backed by the
+    SymSpell deletes index; rows-only — differential-tested vs the serial
+    oracle in tests)."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.operators.score import _get_workers, build_artifacts
+
+    bc = spark.sparkContext.broadcast(build_artifacts())
+
+    def fn(it):
+        _, _, en = _get_workers(bc)
+        for pdf in it:
+            res = [en.correct(t) for t in pdf["text"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "corrected_text": [r["target"] for r in res],
+                    "n_fixes": [len(r["errors"]) for r in res],
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang").filter(F.col("lang") == "en")
+    return ensure_parallelism(d.drop("lang")).mapInPandas(
+        fn, "doc_id long, corrected_text string, n_fixes int"
+    )
+
+
+def q_detect(spark, sf_dir):
+    """Detection-only path (D8 — reference Detector.detect: uniform +
+    split + confusion/OOV/char-LM scan; rows-only, LM-dependent)."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.operators.score import _get_workers, build_artifacts
+
+    bc = spark.sparkContext.broadcast(build_artifacts())
+
+    def fn(it):
+        _, zh, _ = _get_workers(bc)
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                dets = zh.detect(t)
+                rows.append(
+                    (
+                        int(i),
+                        [(w, int(b), int(e), ty) for (w, b, e, ty) in dets],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "errors"])
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang").filter(F.col("lang") == "zh")
+    return ensure_parallelism(d.drop("lang")).mapInPandas(
+        fn,
+        "doc_id long, errors array<struct<word:string,begin:int,end:int,type:string>>",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector (stubbed
     deterministic decode; rows-only)."""
@@ -348,6 +461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "zh_t2s": q_zh_t2s,
+        "zh_homophones": q_homophones,
+        "langid_agreement": q_langid_agreement,
+        "en_spell": q_en_spell,
+        "qf_detect": q_detect,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "media_features": q_media_features,
@@ -357,6 +476,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_user_top_event": q_rel_user_top_event,
         "rel_sessionize": q_rel_sessionize,
     }
+
+
+def _t2s_oracle_sql() -> str:
+    """translate() over the same embedded table (generated so the oracle
+    can never drift from the dict)."""
+    from pycorrector_spark.dicts import T2S_CHARS
+
+    src = "".join(T2S_CHARS)
+    dst = "".join(T2S_CHARS.values())
+    return (
+        f"SELECT doc_id, translate(text, '{src}', '{dst}') AS simp_text FROM documents"
+    )
+
+
+def _homophones_oracle_sql() -> str:
+    from pycorrector_spark.dicts import PINYIN_ZH
+
+    values = ", ".join(f"('{k}', '{v}')" for k, v in PINYIN_ZH.items())
+    return f"""
+        WITH p(ch, py) AS (VALUES {values}),
+        g AS (SELECT py, list_sort(list(DISTINCT ch)) AS homophones FROM p GROUP BY py)
+        SELECT p.ch, p.py, g.homophones FROM p JOIN g USING (py)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -439,6 +581,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2
+        """,
+        "dedup_embedding": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            n AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm
+                  FROM v WHERE sqrt(list_dot_product(ev, ev)) > 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4
+        """,
+        "zh_t2s": _t2s_oracle_sql(),
+        "zh_homophones": _homophones_oracle_sql(),
+        "langid_agreement": _SIGNALS_CTE + """
+            SELECT d.lang, s.lang_id, count(*) AS n_docs,
+                   round(avg(s.lang_conf), 6) AS avg_conf
+            FROM sig2 s JOIN documents d USING (doc_id)
+            GROUP BY d.lang, s.lang_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),

@@ -128,3 +128,55 @@ CONFUSION_EN = {
 # toxicity/blocklist terms for the scrub stage (stand-in list; production
 # would broadcast a curated lexicon)
 BLOCKLIST_EN = ["badword1", "badword2", "offensiveterm"]
+
+# traditional -> simplified single-char table (role of the reference's
+# zh_wiki mapping consumed by langconv, utils/text_utils.py:93-108 — that
+# table is ~8k entries loaded from a data file; this is a curated common
+# subset, and the operator accepts a custom table for full coverage).
+# Strictly 1-char -> 1-char so the default path is `str.translate` /
+# SQL `translate` (codepoint map); multi-char phrases go through
+# textops.longest_match_rewrite with a custom dict.
+T2S_CHARS = {
+    "萬": "万", "東": "东", "馬": "马", "鳥": "鸟", "龍": "龙", "華": "华",
+    "愛": "爱", "國": "国", "學": "学", "習": "习", "體": "体", "醫": "医",
+    "發": "发", "廣": "广", "場": "场", "買": "买", "賣": "卖", "車": "车",
+    "書": "书", "語": "语", "說": "说", "讀": "读", "寫": "写", "聽": "听",
+    "門": "门", "問": "问", "間": "间", "開": "开", "關": "关", "風": "风",
+    "雲": "云", "電": "电", "氣": "气", "漢": "汉", "湯": "汤", "頭": "头",
+    "點": "点", "黨": "党", "會": "会", "後": "后", "樂": "乐", "幾": "几",
+    "機": "机", "飛": "飞", "錢": "钱", "長": "长", "張": "张", "見": "见",
+    "貝": "贝", "頁": "页", "魚": "鱼", "絲": "丝", "紅": "红", "經": "经",
+    "給": "给", "綠": "绿", "親": "亲", "舊": "旧", "時": "时", "實": "实",
+    "對": "对", "來": "来", "為": "为", "無": "无", "數": "数", "這": "这",
+    "個": "个", "們": "们", "從": "从", "眾": "众", "動": "动", "務": "务",
+    "勞": "劳", "歷": "历", "麗": "丽", "禮": "礼", "藝": "艺", "術": "术",
+    "戰": "战", "勝": "胜", "負": "负", "員": "员", "圓": "圆", "園": "园",
+    "遠": "远", "運": "运", "過": "过", "還": "还", "進": "进", "連": "连",
+    "週": "周", "陽": "阳", "陰": "阴", "雖": "虽", "離": "离", "難": "难",
+    "鐵": "铁", "銀": "银", "錯": "错", "鍵": "键", "鎮": "镇", "際": "际",
+    "與": "与", "當": "当", "應": "应", "條": "条", "統": "统", "計": "计",
+}
+
+# char -> toneless pinyin for the fixture vocabulary (role of the pinyin
+# lib the reference queries in get_homophones_by_char/by_pinyin,
+# utils/text_utils.py:111-137; production broadcasts the full table).
+# Groups align with SIMILAR_CHARS so homophone recall covers the
+# same-pinyin candidate machinery.
+PINYIN_ZH = {
+    "的": "de", "得": "de", "了": "le", "是": "shi", "式": "shi", "事": "shi",
+    "市": "shi", "试": "shi", "士": "shi", "氏": "shi", "我": "wo", "你": "ni",
+    "他": "ta", "她": "ta", "它": "ta", "们": "men", "在": "zai", "再": "zai",
+    "有": "you", "和": "he", "就": "jiu", "不": "bu", "人": "ren", "都": "dou",
+    "一": "yi", "以": "yi", "已": "yi", "上": "shang", "也": "ye", "很": "hen",
+    "到": "dao", "道": "dao", "要": "yao", "去": "qu", "会": "hui", "着": "zhe",
+    "对": "dui", "座": "zuo", "坐": "zuo", "做": "zuo", "作": "zuo",
+    "想": "xiang", "像": "xiang", "象": "xiang", "新": "xin", "心": "xin",
+    "信": "xin", "明": "ming", "名": "ming", "鸣": "ming", "渔": "yu",
+    "鱼": "yu", "余": "yu", "题": "ti", "提": "ti", "体": "ti", "采": "cai",
+    "彩": "cai", "踩": "cai", "烈": "lie", "列": "lie", "裂": "lie",
+    "汗": "han", "汉": "han", "旱": "han", "分": "fen", "份": "fen",
+    "氛": "fen", "机": "ji", "器": "qi", "七": "qi", "效": "xiao",
+    "笑": "xiao", "校": "xiao", "率": "lv", "绿": "lv", "律": "lv",
+    "慢": "man", "漫": "man", "曼": "man", "变": "bian", "便": "bian",
+    "遍": "bian", "净": "jing", "静": "jing", "竞": "jing", "经": "jing",
+}

@@ -158,6 +158,44 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Exact all-pairs via a block nested-loop self-join with the dot/norm
+    fold JVM-side (codegen'd, oracle-exact accumulation order). This is
+    the verification baseline: O(n^2) compares. The 100 TB path is the
+    same candidate->verify shape as minhash_dedup_pairs — bucket with
+    with_lsh_bucket (multiple plane seeds for recall), verify candidates
+    with this exact cosine — so verification cost is bounded by bucket
+    sizes, not n^2.
+    """
+    norm = _norm(F.col(vec_col).cast("array<double>"))
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm.alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def matmul_topk(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -392,3 +392,63 @@ def lang_id(text: str) -> tuple:
     if latin_ratio >= 0.5:
         return ("en", latin_ratio)
     return ("und", max(cjk_ratio, latin_ratio))
+
+
+# ---------------------------------------------------------------------------
+# Traditional <-> simplified conversion (reference P7: utils/text_utils.py:
+# 93-108 + langconv FSM over the zh_wiki table). Re-expressed as two tiers:
+# a codepoint translate for the (default) single-char table — vectorized
+# via pandas str.translate, SQL-expressible via translate() — and a generic
+# longest-match dict rewrite for multi-char phrase tables.
+# ---------------------------------------------------------------------------
+
+from .dicts import T2S_CHARS  # noqa: E402
+
+_T2S_TRANS = str.maketrans(T2S_CHARS)
+
+
+def t2s(text: str) -> str:
+    """Traditional -> simplified over the embedded single-char table."""
+    return text.translate(_T2S_TRANS)
+
+
+def t2s_series(s: pd.Series) -> pd.Series:
+    """Vectorized traditional -> simplified for an Arrow batch."""
+    return s.fillna("").str.translate(_T2S_TRANS)
+
+
+def longest_match_rewrite(text: str, table: dict, max_len: int = None) -> str:
+    """Greedy longest-match dict rewrite (the langconv FSM semantics:
+    at each position try the longest key first, emit mapped value, advance
+    past the match; unmatched chars pass through).
+
+    `table` may mix 1-char and multi-char keys. O(n * max_key_len) with a
+    first-char index — fine inside an Arrow batch; for very large tables
+    build an Aho-Corasick matcher instead (textops.ACMatcher).
+    """
+    if not table:
+        return text
+    if max_len is None:
+        max_len = max(len(k) for k in table)
+    by_first = {}
+    for k in table:
+        by_first.setdefault(k[0], []).append(k)
+    for ks in by_first.values():
+        ks.sort(key=len, reverse=True)
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        keys = by_first.get(text[i])
+        if keys:
+            for k in keys:
+                if len(k) <= max_len and text.startswith(k, i):
+                    out.append(table[k])
+                    i += len(k)
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)

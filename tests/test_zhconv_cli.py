@@ -1,0 +1,126 @@
+"""Traditional->simplified (P7), homophones (P8), embedding near-dup
+pairs, and the CLI entry point (S1/S2 file->TSV flow)."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pycorrector_spark.dicts import PINYIN_ZH, T2S_CHARS
+from pycorrector_spark.textops import longest_match_rewrite, t2s, t2s_series
+
+
+def test_t2s_single_chars():
+    assert t2s("東風與馬") == "东风与马"
+    # untouched: already-simplified + non-CJK
+    assert t2s("abc 已经。") == "abc 已经。"
+
+
+def test_t2s_series_matches_scalar():
+    s = pd.Series(["學習時間", "", None, "買賣東西 ok"])
+    out = t2s_series(s)
+    assert out.tolist() == [t2s("學習時間"), "", "", t2s("買賣東西 ok")]
+
+
+def test_t2s_table_is_injective_enough_for_translate():
+    # translate() is a codepoint map: every key must be exactly one char
+    assert all(len(k) == 1 and len(v) == 1 for k, v in T2S_CHARS.items())
+
+
+def test_longest_match_prefers_longer_key():
+    table = {"臺": "台", "臺灣": "台湾", "灣": "湾"}
+    # 與 not in the table -> passes through
+    assert longest_match_rewrite("臺灣與臺", table) == "台湾與台"
+
+
+def test_longest_match_empty_and_missing():
+    assert longest_match_rewrite("", {"a": "b"}) == ""
+    assert longest_match_rewrite("xyz", {}) == "xyz"
+    assert longest_match_rewrite("xyz", {"a": "b"}) == "xyz"
+
+
+def test_pinyin_dict_shape():
+    assert all(len(k) == 1 for k in PINYIN_ZH)
+    # similar-char groups share readings (the same-pinyin candidate basis)
+    assert PINYIN_ZH["座"] == PINYIN_ZH["坐"] == "zuo"
+
+
+def test_cosine_near_dup_pairs_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    # make rows 0/1 near-identical and 2/3 identical
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)
+    base[3] = base[2]
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from pycorrector_spark.operators.similarity import cosine_near_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    want = {
+        (i, j)
+        for i in range(6)
+        for j in range(i + 1, 6)
+        if sims[i, j] >= 0.95
+    }
+    assert set(got) == want == {(0, 1), (2, 3)}
+    for (i, j), c in got.items():
+        assert c == pytest.approx(sims[i, j], abs=1e-6)
+
+
+def test_cli_text_mode(spark, tmp_path):
+    inp = tmp_path / "docs.txt"
+    inp.write_text(
+        "this is a perfectly normal english sentence for the pipeline\n"
+        "!!!???***###\n",
+        encoding="utf-8",
+    )
+    out = tmp_path / "out"
+    from pycorrector_spark.__main__ import main
+
+    main(["--input", str(inp), "--output", str(out), "--format", "text"])
+    parts = glob.glob(str(out / "part-*"))
+    assert parts
+    lines = []
+    for p in parts:
+        with open(p, encoding="utf-8") as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    assert len(lines) == 2
+    decisions = {ln.split("\t")[1] for ln in lines}
+    assert decisions == {"true", "false"}
+
+
+def test_cli_parquet_resume_mode(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            ("u1", "a quiet morning walk is good for the mind and body", "en"),
+            ("u2", "###", "und"),
+        ],
+        "url string, text string, lang string",
+    ).selectExpr(
+        "url", "current_timestamp() AS warc_ts",
+        "encode(text, 'utf-8') AS html", "text", "lang",
+    )
+    src = tmp_path / "in"
+    docs.write.parquet(str(src))
+    out = tmp_path / "out"
+    from pycorrector_spark.__main__ import main
+
+    main(["--input", str(src), "--output", str(out), "--format", "parquet"])
+    got = spark.read.parquet(str(out / "docs_out"))
+    assert got.count() == 2
+    # second run is a no-op (resume anti-join)
+    main(["--input", str(src), "--output", str(out), "--format", "parquet"])
+    assert spark.read.parquet(str(out / "docs_out")).count() == 2
+    # audit covers every processed doc exactly once (second run processed
+    # zero rows, so it contributed no per-partition audit rows)
+    audit = spark.read.parquet(str(out / "audit"))
+    assert audit.agg({"n_rows": "sum"}).first()[0] == 2
