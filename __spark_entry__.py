@@ -206,11 +206,16 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ann_cosine(spark, sf_dir):
-    from pycorrector_spark.operators.similarity import cosine_topk
+    """Exact brute-force top-k. matmul_topk (per-partition numpy GEMM
+    against the collected query block, then a global top-k reduce) over
+    cosine_topk (crossJoin + interpreted HOF fold): ~5x at sf0.1, same
+    results — the query set is a tiny dimension, collecting it is the
+    broadcast."""
+    from pycorrector_spark.operators.similarity import matmul_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 8)
-    res = cosine_topk(emb, queries, k=5)
+    queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+    res = matmul_topk(emb, queries_pdf, k=5)
     return res.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
