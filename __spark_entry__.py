@@ -376,6 +376,57 @@ def q_detect(spark, sf_dir):
     )
 
 
+def q_proper(spark, sf_dir):
+    """Proper-noun correction (C5-C7: positional inverted-index recall +
+    stroke/pinyin similarity). Rows-only; the synthetic docs corpus has no
+    CJK, so the query carries its own deterministic sentence fixture (the
+    media_features pattern)."""
+    import pandas as pd
+    from pycorrector_spark.dicts import PROPER_NAMES
+    from pycorrector_spark.refimpl.proper import ProperCorrector
+
+    sents = [
+        "三个臭皮匠顶个诸葛两",
+        "我们去北京看比赛",
+        "他在上每工作了三年",
+        "人工只能改变世界",
+        "这是一段没有专名的话",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "sent_id long, text string"
+    ).repartition(4)
+    bc = spark.sparkContext.broadcast(ProperCorrector(PROPER_NAMES))
+
+    def fn(it):
+        pc = bc.value
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["sent_id"], pdf["text"]):
+                res = pc.correct(t)
+                rows.append(
+                    (int(i), res["target"],
+                     [(w, r, int(p)) for (w, r, p) in res["errors"]])
+                )
+            yield pd.DataFrame(rows, columns=["sent_id", "target", "errors"])
+
+    return df.mapInPandas(
+        fn,
+        "sent_id long, target string, "
+        "errors array<struct<wrong:string,right:string,begin:int>>",
+    )
+
+
+def q_eval_f1(spark, sf_dir):
+    """Labeled-corpus eval (A5): corrector over deterministic (src, tgt)
+    pairs -> one confusion-matrix/F1 row via a real Spark aggregation.
+    Rows-only (the correction stage is not SQL-expressible)."""
+    from pycorrector_spark.evaluate import eval_corrector
+    from pycorrector_spark.fixtures import make_eval_pairs
+
+    pairs = spark.createDataFrame(make_eval_pairs())
+    return eval_corrector(spark, pairs)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector (stubbed
     deterministic decode; rows-only)."""
@@ -472,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_agreement": q_langid_agreement,
         "en_spell": q_en_spell,
         "qf_detect": q_detect,
+        "zh_proper": q_proper,
+        "eval_f1": q_eval_f1,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "media_features": q_media_features,

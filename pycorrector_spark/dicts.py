@@ -179,4 +179,31 @@ PINYIN_ZH = {
     "笑": "xiao", "校": "xiao", "率": "lv", "绿": "lv", "律": "lv",
     "慢": "man", "漫": "man", "曼": "man", "变": "bian", "便": "bian",
     "遍": "bian", "净": "jing", "静": "jing", "竞": "jing", "经": "jing",
+    "诸": "zhu", "葛": "ge", "亮": "liang", "两": "liang", "凉": "liang",
+    "北": "bei", "京": "jing", "海": "hai", "南": "nan", "马": "ma",
+    "云": "yun", "学": "xue", "雪": "xue", "智": "zhi", "能": "neng",
+    "志": "zhi", "只": "zhi", "朋": "peng", "鹏": "peng", "友": "you",
+}
+
+# proper-noun dimension (role of person_name.txt/place_name.txt +
+# custom proper-name files, proper_corrector.py:25-35; production stages
+# 40k+ names and broadcasts the prebuilt index)
+PROPER_NAMES = {
+    "诸葛亮", "北京", "上海", "南京", "马云", "人工智能", "机器学习",
+}
+
+# char -> stroke-sequence code (role of pycorrector/data/stroke.txt read
+# by load_dict_file, proper_corrector.py:38-59,72). Codes are over the
+# h/s/p/n/z 5-stroke alphabet; visually-similar chars share long
+# prefixes so 1 - normalized-Levenshtein over codes behaves like the
+# reference's stroke similarity. Chars without an entry get a
+# deterministic low-similarity fallback code (see refimpl/proper.py).
+STROKE_CODES = {
+    "亮": "pzhsnz", "两": "hspsps", "凉": "pzhsn",
+    "学": "ppnzh", "雪": "hszhhh",
+    "马": "znh", "鸟": "pznh",
+    "云": "hhzn", "去": "hhzn",
+    "京": "pzhsn", "景": "pzhsnh",
+    "朋": "zhhzhh", "鹏": "zhhpznh",
+    "智": "phzshh", "志": "hshzn",
 }

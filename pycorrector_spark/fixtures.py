@@ -219,3 +219,19 @@ def word_freq_zh():
     for truth in CONFUSION_DICT.values():
         wf.setdefault(truth, 100)
     return wf
+
+
+def make_eval_pairs(n: int = 120, seed: int = 7) -> pd.DataFrame:
+    """Deterministic (src, tgt) eval corpus (role of sighan2015_test.tsv,
+    reference utils/evaluate_utils.py:32-39): tgt is a clean sentence,
+    src is either the same (negative) or a corrupted variant (positive)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        tgt = CLEAN_ZH[i % len(CLEAN_ZH)]
+        if rng.random() < 0.5:
+            src, _ = corrupt_sentence(tgt, rng)
+        else:
+            src = tgt
+        rows.append((src, tgt))
+    return pd.DataFrame(rows, columns=["src", "tgt"])

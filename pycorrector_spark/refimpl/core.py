@@ -23,8 +23,10 @@ choices so they agree with EACH OTHER exactly):
 3. ``generate_items`` omits the pypinyin-filtered same-pinyin word set
    (reference corrector.py:152-161) — candidates come from the custom
    confusion dict and the similar-char table only.
-4. Proper-noun correction (proper_corrector.py) is disabled by default
-   (stubbed hook; planned for a later round).
+4. Proper-noun correction (refimpl/proper.py, reference
+   proper_corrector.py) is opt-in: pass ``proper=ProperCorrector(names)``.
+   The default stays None so golden labels are stable; pinyin/stroke
+   dimensions are the embedded tables in dicts.py, not pypinyin/stroke.txt.
 5. English tie-breaks sort candidates lexicographically before the
    probability argmax (the reference iterates an unordered set, which is
    hash-seed dependent — we pin determinism).
@@ -86,6 +88,7 @@ class Detector:
         stopwords: set,
         enable_char_error: bool = True,
         enable_word_error: bool = True,
+        proper=None,
     ):
         self.lm = lm
         self.word_freq = word_freq
@@ -94,6 +97,9 @@ class Detector:
         self.scanner = MultiPatternScanner(self.custom_confusion.keys())
         self.enable_char_error = enable_char_error
         self.enable_word_error = enable_word_error
+        # optional ProperCorrector (refimpl/proper.py) — detection stage 2
+        # (detector.py:419-424); None keeps the round-1 default behavior
+        self.proper = proper
         self._word_set = set(word_freq)
 
     # -- kenlm-equivalent helpers (detector.py:268-284) --
@@ -110,11 +116,19 @@ class Detector:
     # -- detection --
 
     def _detect(self, sentence: str, start_idx: int = 0):
-        """Return [[word, begin, end, type], ...] for one fragment.
+        """Return [[word, begin, end, type], ...] for one fragment."""
+        return self._detect_with_proper(sentence, start_idx)[0]
 
-        Stage order and containment dedup mirror detector.py:396-478.
+    def _detect_with_proper(self, sentence: str, start_idx: int = 0):
+        """([[word, begin, end, type], ...], {(word, begin): correction})
+        for one fragment.
+
+        Stage order and containment dedup mirror detector.py:396-478; the
+        proper_details map mirrors the (cur, correct, begin) triples the
+        reference corrector consumes (detector.py:419-424).
         """
         maybe_errors = []
+        proper_details = {}
 
         # 1. custom confusion variants (all occurrences, end-index order)
         if len(self.scanner) > 0:
@@ -123,7 +137,16 @@ class Detector:
                 maybe_err = [confuse, begin_idx + start_idx, end_idx + 1 + start_idx, ErrorType.confusion]
                 _add_maybe_error_item(maybe_err, maybe_errors)
 
-        # 2. proper nouns: disabled in round 1 (divergence #4)
+        # 2. proper nouns (detector.py:419-424): index-recalled candidates
+        # above the similarity threshold become forced corrections
+        if self.proper is not None:
+            res = self.proper.correct(sentence)
+            for wrong, right, begin in res["errors"]:
+                b = begin + start_idx
+                _add_maybe_error_item(
+                    [wrong, b, b + len(wrong), ErrorType.proper], maybe_errors
+                )
+                proper_details[(wrong, b)] = right
 
         # 3. OOV words
         if self.enable_word_error:
@@ -146,7 +169,7 @@ class Detector:
                         continue
                     _add_maybe_error_item([token, i + start_idx, i + start_idx + 1, ErrorType.char], maybe_errors)
 
-        return sorted(maybe_errors, key=lambda k: k[1])
+        return sorted(maybe_errors, key=lambda k: k[1]), proper_details
 
     def detect(self, sentence: str):
         """uniform -> split -> _detect per fragment (detector.py:480-495)."""
@@ -234,12 +257,16 @@ class Corrector(Detector):
         corrected_sentence = ""
         details = []
         for sent, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):
-            maybe_errors = self._detect(sent, idx)
+            maybe_errors, proper_details = self._detect_with_proper(sent, idx)
             for cur_item, begin_idx, end_idx, err_type in maybe_errors:
                 before_sent = sent[: (begin_idx - idx)]
                 after_sent = sent[(end_idx - idx):]
                 if err_type == ErrorType.confusion:
                     corrected_item = self.custom_confusion[cur_item]
+                elif err_type == ErrorType.proper:
+                    # forced correction from the proper-noun index
+                    # (corrector.py:297-299)
+                    corrected_item = proper_details.get((cur_item, begin_idx), cur_item)
                 else:
                     candidates = self.generate_items(cur_item, fragment=num_fragment)
                     if not candidates:
@@ -360,3 +387,29 @@ class EnSpellCorrector:
             text_new += w
         details = sorted(details, key=lambda d: d[2])
         return {"source": sentence, "target": text_new, "errors": details}
+
+
+DEFAULT_UNK_TOKENS = (" ", "“", "”", "‘", "’", "琊", "\n", "…", "擤", "\t", "玕", "")
+
+
+def get_errors(corrected_text: str, origin_text: str, unk_tokens=DEFAULT_UNK_TOKENS):
+    """Diff-based error extraction (reference utils/error_utils.py:10-37):
+    SequenceMatcher opcodes between origin and corrected text ->
+    (origin_segment, corrected_segment, pos) triples; segments touching an
+    unk token are skipped; deletes drop chars from the corrected side.
+
+    Used by the DL-wrapper flow in the reference; here it labels scrub
+    edits and arbitrary text rewrites (e.g. t2s, proper-noun splices)."""
+    import difflib
+
+    errors = []
+    matcher = difflib.SequenceMatcher(None, origin_text, corrected_text)
+    for tag, i1, i2, j1, j2 in matcher.get_opcodes():
+        if tag == "equal":
+            continue
+        a_seg = origin_text[i1:i2]
+        b_seg = corrected_text[j1:j2]
+        if any(u and (u in a_seg or u in b_seg) for u in unk_tokens):
+            continue
+        errors.append((a_seg, b_seg, i1))
+    return sorted(errors, key=lambda t: t[2])

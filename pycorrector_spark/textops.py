@@ -405,11 +405,23 @@ def lang_id(text: str) -> tuple:
 from .dicts import T2S_CHARS  # noqa: E402
 
 _T2S_TRANS = str.maketrans(T2S_CHARS)
+# inverse map; where several traditional chars share one simplified form
+# the first (curation-order) entry wins — same rule as the reference's
+# zh_wiki s2t table, which also picks one canonical traditional form
+_S2T_CHARS = {}
+for _t, _s in T2S_CHARS.items():
+    _S2T_CHARS.setdefault(_s, _t)
+_S2T_TRANS = str.maketrans(_S2T_CHARS)
 
 
 def t2s(text: str) -> str:
     """Traditional -> simplified over the embedded single-char table."""
     return text.translate(_T2S_TRANS)
+
+
+def s2t(text: str) -> str:
+    """Simplified -> traditional (inverse table, first mapping wins)."""
+    return text.translate(_S2T_TRANS)
 
 
 def t2s_series(s: pd.Series) -> pd.Series:
