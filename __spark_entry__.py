@@ -163,6 +163,71 @@ def q_sent_split(spark, sf_dir):
     )
 
 
+def q_uniform(spark, sf_dir):
+    """Q2B width folding + lowercase (P4/P5 — the detect-path normalizer),
+    vectorized str.translate over Arrow batches."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import uniform_series
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "norm_text": uniform_series(pdf["text"].fillna(""))}
+            )
+
+    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, norm_text string"
+    )
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus char-bigram frequencies (T7 n-gram machinery as a relational
+    plan): JVM-side transform/sequence + explode + groupBy — whole-stage
+    codegen, no Python."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 2)
+    grams = F.expr(
+        "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"
+    )
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+def q_zh_segment(spark, sf_dir):
+    """Forward-maximum-match word segmentation (T4/T5 stand-in for jieba,
+    divergence #2): broadcast word-dict tokens with spans. Rows-only;
+    carries its own CJK fixture sentences (docs corpus has no CJK)."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import CLEAN_ZH
+    from pycorrector_spark.operators.score import build_artifacts
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CLEAN_ZH)], "sent_id long, text string"
+    ).repartition(4)
+    bc = spark.sparkContext.broadcast(build_artifacts())
+
+    def fn(it):
+        from pycorrector_spark.textops import max_match_tokens
+
+        words = set(bc.value.word_freq)
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["sent_id"], pdf["text"]):
+                toks = [
+                    (tok, int(b), int(e)) for tok, b, e in max_match_tokens(t, words)
+                ]
+                rows.append((int(i), toks))
+            yield pd.DataFrame(rows, columns=["sent_id", "tokens"])
+
+    return df.mapInPandas(
+        fn, "sent_id long, tokens array<struct<token:string,begin:int,end:int>>"
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from pycorrector_spark.operators.textstats import with_token_counts
 
@@ -509,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_cheap": q_keep_cheap,
         "qf_scrub": q_scrub,
         "qf_sent_split": q_sent_split,
+        "qf_uniform": q_uniform,
+        "ngram_counts": q_ngram_counts,
+        "zh_segment": q_zh_segment,
         "qf_lm_ppl": q_lm_ppl,
         "qf_pipeline_full": q_pipeline_full,
         "tok_counts": q_token_counts,
@@ -534,6 +602,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_user_top_event": q_rel_user_top_event,
         "rel_sessionize": q_rel_sessionize,
     }
+
+
+def _uniform_oracle_sql() -> str:
+    """lower(translate(fullwidth -> halfwidth)) with tables generated from
+    the same codepoint ranges as textops._Q2B_TABLE."""
+    fw = chr(0x3000) + "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+    hw = " " + "".join(chr(c) for c in range(0x21, 0x7F))
+    fw_sql = fw.replace("'", "''")
+    hw_sql = hw.replace("'", "''")
+    return (
+        f"SELECT doc_id, lower(translate(text, '{fw_sql}', '{hw_sql}')) AS norm_text"
+        " FROM documents"
+    )
 
 
 def _t2s_oracle_sql() -> str:
@@ -648,6 +729,13 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4
+        """,
+        "qf_uniform": _uniform_oracle_sql(),
+        "ngram_counts": """
+            SELECT gram, count(*) AS n FROM (
+              SELECT unnest([substr(text, i, 2) for i in range(1, length(text))]) AS gram
+              FROM documents WHERE length(text) >= 2)
+            GROUP BY gram HAVING count(*) >= 5
         """,
         "zh_t2s": _t2s_oracle_sql(),
         "zh_homophones": _homophones_oracle_sql(),

@@ -464,3 +464,29 @@ def longest_match_rewrite(text: str, table: dict, max_len: int = None) -> str:
             out.append(text[i])
             i += 1
     return "".join(out)
+
+
+def word_ngrams(tokens, mode: str = "12"):
+    """Composite word n-grams (reference NgramUtil.ngrams modes,
+    utils/ngram_util.py:8-176): ``mode`` is a digit string — '1' unigrams,
+    '2' bigrams, ... '1234' all of uni..four-grams — concatenated in that
+    order. Tokens are joined with '_' as in the reference."""
+    out = []
+    toks = list(tokens)
+    for d in mode:
+        n = int(d)
+        out.extend("_".join(toks[i: i + n]) for i in range(len(toks) - n + 1))
+    return out
+
+
+def skip_grams(tokens, k: int = 1):
+    """Skip-bigrams: pairs (t[i], t[i+1+g]) for gap g in 1..k — the
+    reference's skip-gram variants (ngram_util.py, the *_skip modes),
+    joined with '_'. k=0 degenerates to plain bigrams' complement (empty)."""
+    toks = list(tokens)
+    out = []
+    for g in range(1, k + 1):
+        out.extend(
+            f"{toks[i]}_{toks[i + 1 + g]}" for i in range(len(toks) - 1 - g)
+        )
+    return out

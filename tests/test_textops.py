@@ -163,3 +163,23 @@ def test_lang_id_rule():
     assert lang_id("this is an english sentence")[0] == "en"
     assert lang_id("12345 67890")[0] == "und"
     assert lang_id("")[0] == "und"
+
+
+def test_word_ngrams_modes():
+    from pycorrector_spark.textops import word_ngrams
+
+    assert word_ngrams(["a", "b", "c"], "1") == ["a", "b", "c"]
+    assert word_ngrams(["a", "b", "c"], "2") == ["a_b", "b_c"]
+    assert word_ngrams(["a", "b", "c"], "12") == ["a", "b", "c", "a_b", "b_c"]
+    assert word_ngrams(["a", "b", "c", "d"], "1234")[-1] == "a_b_c_d"
+    assert word_ngrams([], "123") == []
+    assert word_ngrams(["a"], "2") == []
+
+
+def test_skip_grams():
+    from pycorrector_spark.textops import skip_grams
+
+    assert skip_grams(["a", "b", "c", "d"], 1) == ["a_c", "b_d"]
+    assert skip_grams(["a", "b", "c", "d"], 2) == ["a_c", "b_d", "a_d"]
+    assert skip_grams(["a", "b"], 2) == []
+    assert skip_grams([], 1) == []
