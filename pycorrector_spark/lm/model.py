@@ -252,6 +252,20 @@ def mad_outlier_indices(scores: np.ndarray, ratio: float = 0.6745, threshold: fl
     return [int(i) for i in idx]
 
 
+def stddev_outlier_indices(scores: np.ndarray, n_sigma: float = 2.0):
+    """Mean +- n*sigma outlier rule — reference detector.py:357-372 (the
+    unused alternative to the MAD test; kept for config parity). Flags i
+    where s_i < mean - n_sigma * std."""
+    scores = np.asarray(scores, dtype=np.float64)
+    if len(scores) == 0:
+        return []
+    std = scores.std()
+    if std == 0:
+        return []
+    cutoff = scores.mean() - n_sigma * std
+    return [int(i) for i in np.where(scores < cutoff)[0]]
+
+
 def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
     """Train an order-3 absolute-discount backoff char LM.
 

@@ -99,3 +99,15 @@ def test_mad_outlier_rule():
     assert mad_outlier_indices(scores_hi) == []
     # zero MAD -> no flags
     assert mad_outlier_indices(np.array([1.0, 1.0, 1.0])) == []
+
+
+def test_stddev_outlier_indices():
+    from pycorrector_spark.lm.model import stddev_outlier_indices
+    import numpy as np
+
+    scores = np.array([-1.0, -1.1, -0.9, -1.0] * 3 + [-8.0])
+    assert stddev_outlier_indices(scores) == [12]
+    assert stddev_outlier_indices(np.array([])) == []
+    assert stddev_outlier_indices(np.array([2.0, 2.0, 2.0])) == []
+    # low-side only: a HIGH outlier is never flagged
+    assert stddev_outlier_indices(np.array([-1.0, -1.1, -0.9, -1.0] * 3 + [6.0])) == []
