@@ -481,6 +481,42 @@ def q_proper(spark, sf_dir):
     )
 
 
+# fixture sentences shared by q_confusion and its generated oracle
+_CONFUSION_SENTS = [
+    "我们因该去上课",
+    "他兴高彩列地回家",
+    "化学成份分析报告",
+    "这句话没有问题",
+    "人工只能和机七学习",
+]
+
+
+def q_confusion(spark, sf_dir):
+    """Forced confusion replace (C4 — ConfusionCorrector: every variant
+    match spliced in place). Target text is oracle-checked against chained
+    replace() over the same dict (exact for non-overlapping variants, which
+    holds for this dict); the errors triples are asserted in tests."""
+    import pandas as pd
+    from pycorrector_spark.dicts import CONFUSION_DICT
+    from pycorrector_spark.refimpl.core import ConfusionCorrector
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_CONFUSION_SENTS)], "sent_id long, text string"
+    ).repartition(4)
+    bc = spark.sparkContext.broadcast(ConfusionCorrector(dict(CONFUSION_DICT)))
+
+    def fn(it):
+        cc = bc.value
+        for pdf in it:
+            rows = [
+                (int(i), cc.correct(t)["target"])
+                for i, t in zip(pdf["sent_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["sent_id", "target"])
+
+    return df.mapInPandas(fn, "sent_id long, target string")
+
+
 def q_eval_f1(spark, sf_dir):
     """Labeled-corpus eval (A5): corrector over deterministic (src, tgt)
     pairs -> one confusion-matrix/F1 row via a real Spark aggregation.
@@ -592,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en_spell": q_en_spell,
         "qf_detect": q_detect,
         "zh_proper": q_proper,
+        "zh_confusion": q_confusion,
         "eval_f1": q_eval_f1,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
@@ -602,6 +639,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_user_top_event": q_rel_user_top_event,
         "rel_sessionize": q_rel_sessionize,
     }
+
+
+def _confusion_oracle_sql() -> str:
+    """Chained replace() over the confusion dict, applied to the inline
+    fixture sentences — generated from the same dict + sentence list."""
+    from pycorrector_spark.dicts import CONFUSION_DICT
+
+    expr = "text"
+    for variant, truth in CONFUSION_DICT.items():
+        expr = f"replace({expr}, '{variant}', '{truth}')"
+    values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_CONFUSION_SENTS)
+    )
+    return (
+        f"SELECT sent_id, {expr} AS target"
+        f" FROM (VALUES {values}) AS t(sent_id, text)"
+    )
 
 
 def _uniform_oracle_sql() -> str:
@@ -730,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4
         """,
+        "zh_confusion": _confusion_oracle_sql(),
         "qf_uniform": _uniform_oracle_sql(),
         "ngram_counts": """
             SELECT gram, count(*) AS n FROM (

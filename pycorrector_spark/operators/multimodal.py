@@ -85,6 +85,47 @@ def extract_image_features(
     return df.mapInPandas(fn, "media_id long, mime string, features array<double>")
 
 
+def resize_image(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize stub with real Spark plumbing: same columns out, metadata
+    updated to the target dims, payload re-emitted (a real implementation
+    decodes + resamples + re-encodes inside this same batch function).
+
+    With deterministic_fake the 'resized' payload is a length-scaled
+    sha256 stream of the original — deterministic, size-plausible, and
+    clearly fake."""
+
+    def fn(it):
+        for pdf in it:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real resize requires an image codec; run with "
+                    "deterministic_fake=True or swap this function"
+                )
+            n_bytes = max(1, target_w * target_h // 8)
+            out_payload = []
+            for p in pdf[payload_col]:
+                stream = b""
+                seed = bytes(p)
+                while len(stream) < n_bytes:
+                    seed = hashlib.sha256(seed).digest()
+                    stream += seed
+                out_payload.append(stream[:n_bytes])
+            out = pdf.copy()
+            out["width"] = np.int32(target_w)
+            out["height"] = np.int32(target_h)
+            out[payload_col] = out_payload
+            yield out
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(fn, ddl)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_index) plan rows
     without decoding — the real sampler slots into the same shape."""

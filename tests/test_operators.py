@@ -222,3 +222,17 @@ def test_media_features_shape_and_determinism(spark):
     a = {r["media_id"]: list(r["features"]) for r in feats}
     b = {r["media_id"]: list(r["features"]) for r in again}
     assert a == b
+
+
+def test_resize_stub_plumbing(spark):
+    from pycorrector_spark.operators.multimodal import make_media_table, resize_image
+
+    out = resize_image(make_media_table(spark, 8), 32, 32).collect()
+    assert len(out) == 8
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 32)
+        assert len(r["payload"]) == 32 * 32 // 8
+    # deterministic across runs
+    again = resize_image(make_media_table(spark, 8), 32, 32).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
+           {r["media_id"]: bytes(r["payload"]) for r in again}
