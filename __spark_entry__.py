@@ -294,6 +294,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=6)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (rows-only): driver-trained coarse quantizer on a
+    sample, cell assignment via GEMM, queries probe nprobe cells."""
+    import numpy as np
+    from pycorrector_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    sample = emb.select("vec_id", "embedding").limit(2000).toPandas()
+    vecs = np.stack(sample["embedding"].apply(np.asarray).values)
+    cents = kmeans_centroids(vecs, k=8)
+    queries_pdf = sample[sample["vec_id"] < 8]
+    return ivf_topk(emb, queries_pdf, cents, k=5, nprobe=3)
+
+
 def q_lm_ppl(spark, sf_dir):
     """LM perplexity per document (rows-only: n-gram backoff LM is not
     SQL-expressible; differential-tested vs the serial oracle in tests/)."""
@@ -632,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_f1": q_eval_f1,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "media_features": q_media_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,

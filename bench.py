@@ -98,7 +98,10 @@ def run_pipeline_replicated(sf_dir: str, cpus: int, replicate: int) -> dict:
     # cross-join so the expansion itself runs in parallel, then cached so
     # every timed run reads identical in-memory input.
     bc = spark.sparkContext.broadcast(build_artifacts())
-    parts = max(64, 4 * cpus)
+    # 8 tasks/core: waves are short enough that one slow partition costs
+    # ~1/8 of a wave, not 1/4 (measured: 128 parts beats 64 by ~2% at 16
+    # cores and 192 loses 20% to per-task overhead)
+    parts = max(64, 8 * cpus)
     docs = _docs_as_webpages(spark, sf_dir).repartition(parts, F.xxhash64("url"))
     big = (
         docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))

@@ -158,6 +158,116 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vecs: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (numpy, deterministic).
+
+    At 100 TB the coarse quantizer is trained on a ~1M-row sample
+    (df.sample().toPandas()) — centroid training is a driver concern, the
+    cluster only does assignment."""
+    rng = np.random.default_rng(seed)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    centroids = vecs[rng.choice(len(vecs), size=min(k, len(vecs)), replace=False)]
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Add the nearest-centroid cell id (int) — one GEMM per Arrow batch.
+
+    This is the IVF build step: at scale, write the result partitioned by
+    `cell` so probes read only nprobe cells (partition pruning)."""
+    cb = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cb ** 2).sum(axis=1)
+    other = list(df.columns)
+
+    def fn(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
+            d = c_norm2[None, :] - 2.0 * (mat @ cb.T)
+            out_pdf = pdf.copy()
+            out_pdf[out] = d.argmin(axis=1).astype(np.int64)
+            yield out_pdf
+
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} long"
+    return ensure_parallelism(df).mapInPandas(fn, ddl)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors bucketed by nearest
+    centroid, each query scans only its nprobe closest cells.
+
+    The cell filter is a JVM `isin` over a small int set -> partition/
+    row-group pruning when the corpus is stored partitioned by cell. The
+    scan inside surviving cells is the same GEMM partial top-k as
+    matmul_topk."""
+    cb = np.asarray(centroids, dtype=np.float64)
+    qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+    qids = queries_pdf[id_col].to_numpy()
+    d = ((cb ** 2).sum(axis=1)[None, :]) - 2.0 * (qmat @ cb.T)
+    probe_cells = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    # query -> probed cells, shipped in the task closure with the queries
+    q_cells = {int(qids[i]): {int(c) for c in probe_cells[i]} for i in range(len(qids))}
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    assigned = ivf_assign(corpus.select(id_col, vec_col), cb, vec_col).filter(
+        F.col("cell").isin(wanted)
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            rows = []
+            for qi in range(len(qids)):
+                qid = int(qids[qi])
+                mask = (ids != qid) & np.isin(cells, list(q_cells[qid]))
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                col = sims[:, qi]
+                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                rows.extend((qid, int(ids[t]), float(col[t])) for t in top)
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = assigned.mapInPandas(fn, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

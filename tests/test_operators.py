@@ -236,3 +236,48 @@ def test_resize_stub_plumbing(spark):
     again = resize_image(make_media_table(spark, 8), 32, 32).collect()
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
            {r["media_id"]: bytes(r["payload"]) for r in again}
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import numpy as np
+
+    from pycorrector_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        matmul_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated clusters so IVF recall is perfect with nprobe=2
+    centers = rng.standard_normal((4, 12)) * 8
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((30, 12)) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    import pandas as pd
+
+    qpdf = pd.DataFrame(
+        {"vec_id": [0, 35, 70], "embedding": [list(vecs[0]), list(vecs[35]), list(vecs[70])]}
+    )
+    cents = kmeans_centroids(vecs, k=4)
+    exact = matmul_topk(df, qpdf, k=3).collect()
+    approx = ivf_topk(df, qpdf, cents, k=3, nprobe=2).collect()
+    ex = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact}
+    ap = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx}
+    assert ex == ap  # same-cluster neighbors live in the probed cells
+
+
+def test_ivf_assign_deterministic(spark):
+    import numpy as np
+
+    from pycorrector_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(vecs, k=5)
+    a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    b = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(5))

@@ -118,3 +118,22 @@ def test_audit_frame_totals(spark, docs_pdf):
     assert (audit["run_id"] == "testrun").all()
     # lineage: every partition reports
     assert audit["partition_id"].is_unique
+
+
+def test_salted_repartition_spreads_hot_url(spark):
+    from pyspark.sql import functions as F
+
+    from pycorrector_spark.pipeline import repartition_by_url
+
+    hot = spark.range(4000).select(F.lit("http://hot.example/page").alias("url"))
+
+    def n_parts_holding_rows(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().count()
+        )
+
+    # unsalted: one url hashes to exactly one partition
+    assert n_parts_holding_rows(repartition_by_url(hot, 16)) == 1
+    # salted: the hot url spreads over ~salt_buckets partitions
+    assert n_parts_holding_rows(repartition_by_url(hot, 16, salt_buckets=8)) >= 4
