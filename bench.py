@@ -65,7 +65,10 @@ def bench_queries():
         "dedup_exact": q["dedup_exact"],
         "dedup_minhash": minhash_bench,
         "dedup_simhash": q["dedup_simhash"],
+        "dedup_embedding": q["dedup_embedding"],
         "ann_cosine_topk": q["ann_cosine_topk"],
+        "ann_ivf_topk": q["ann_ivf_topk"],
+        "en_spell": q["en_spell"],
         "rel_pricing_summary": q["rel_pricing_summary"],
         "rel_top_nations": q["rel_top_nations"],
         "rel_sessionize": q["rel_sessionize"],
