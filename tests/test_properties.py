@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) over the pure text/hash primitives.
+
+The reference has no property tests (SURVEY.md §5); these harden the
+invariants the distributed stages rely on: splitter reassembly, normalizer
+idempotence, scrub stability, minhash's Jaccard estimate, and edit-distance
+metric laws.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pycorrector_spark.refimpl.proper import levenshtein
+from pycorrector_spark.textops import (
+    longest_match_rewrite,
+    s2t,
+    scrub_text,
+    split_sentences_by_symbol,
+    string_b2q,
+    string_q2b,
+    t2s,
+    uniform,
+)
+
+# mixed alphabet: ASCII, fullwidth, CJK (incl. traditional), whitespace, punct
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019 \t\n.,!?@:/-_#&+")
+        + list("，。！？；：")
+        + list("的了是我你他在有不人一上大东风马学习汉汗")
+        + list("東風馬學習漢")
+        + [chr(c) for c in range(0xFF01, 0xFF10)]
+    ),
+    max_size=80,
+)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_split_reassembles(text):
+    frags = split_sentences_by_symbol(text, include_symbol=True)
+    assert "".join(f for f, _ in frags) == text
+    for frag, idx in frags:
+        assert text[idx: idx + len(frag)] == frag
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_uniform_idempotent_and_length_preserving(text):
+    once = uniform(text)
+    assert uniform(once) == once
+    assert len(once) == len(text)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_q2b_b2q_partial_inverse(text):
+    # Q2B then B2Q maps every ASCII-printable to fullwidth; Q2B again
+    # returns to the halfwidth normal form — i.e. Q2B∘B2Q∘Q2B == Q2B
+    assert string_q2b(string_b2q(string_q2b(text))) == string_q2b(text)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_t2s_length_preserving_and_idempotent(text):
+    out = t2s(text)
+    assert len(out) == len(text)
+    assert t2s(out) == out  # simplified output contains no mapped trad chars
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_s2t_t2s_fixpoint(text):
+    # t2s(s2t(x)) == t2s(x): converting to traditional and back lands on
+    # the same simplified normal form
+    assert t2s(s2t(t2s(text))) == t2s(text)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent(text):
+    once = scrub_text(text)
+    assert scrub_text(once) == once
+
+
+@given(TEXT, st.dictionaries(st.text(min_size=1, max_size=3), st.text(max_size=3), max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_longest_match_rewrite_total(text, table):
+    # never crashes, and with an empty table is the identity
+    longest_match_rewrite(text, table)
+    assert longest_match_rewrite(text, {}) == text
+
+
+SHORT = st.text(alphabet=st.sampled_from("abcde"), max_size=8)
+
+
+@given(SHORT, SHORT, SHORT)
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_metric_laws(a, b, c):
+    assert levenshtein(a, b) == levenshtein(b, a)
+    assert (levenshtein(a, b) == 0) == (a == b)
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+@given(st.integers(0, 2 ** 31), st.integers(1, 200), st.integers(1, 200))
+@settings(max_examples=50, deadline=None)
+def test_minhash_jaccard_estimate(seed, n_a, n_overlap):
+    from pycorrector_spark.operators.dedup import _minhash_batch, _minhash_params
+
+    rng = np.random.default_rng(seed)
+    a_only = rng.integers(0, 2 ** 63, size=n_a, dtype=np.uint64)
+    shared = rng.integers(0, 2 ** 63, size=n_overlap, dtype=np.uint64)
+    set_a = np.unique(np.concatenate([a_only, shared]))
+    set_b = np.unique(shared)
+    inter = len(np.intersect1d(set_a, set_b))
+    union = len(np.union1d(set_a, set_b))
+    true_j = inter / union
+    pa, pb = _minhash_params(256)
+    sigs = _minhash_batch([set_a, set_b], pa, pb)
+    est = (sigs[0] == sigs[1]).mean()
+    # 256 permutations: std err ~ sqrt(j(1-j)/256) <= 0.031; 6 sigma
+    assert abs(est - true_j) < 0.2
+
+
+@given(st.lists(st.integers(0, 2 ** 62), min_size=0, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_minhash_identical_sets_identical_sigs(vals):
+    from pycorrector_spark.operators.dedup import _minhash_batch, _minhash_params
+
+    arr = np.unique(np.array(vals, dtype=np.uint64))
+    pa, pb = _minhash_params(64)
+    sigs = _minhash_batch([arr, arr.copy()], pa, pb)
+    assert (sigs[0] == sigs[1]).all()
