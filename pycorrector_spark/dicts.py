@@ -183,6 +183,8 @@ PINYIN_ZH = {
     "北": "bei", "京": "jing", "海": "hai", "南": "nan", "马": "ma",
     "云": "yun", "学": "xue", "雪": "xue", "智": "zhi", "能": "neng",
     "志": "zhi", "只": "zhi", "朋": "peng", "鹏": "peng", "友": "you",
+    "权": "quan", "利": "li", "力": "li", "游": "you", "戏": "xi",
+    "称": "cheng",
 }
 
 # proper-noun dimension (role of person_name.txt/place_name.txt +

@@ -20,9 +20,9 @@ choices so they agree with EACH OTHER exactly):
    not the pretrained KenLM binary.
 2. Word segmentation is forward-maximum-matching over the broadcast word
    dict, not jieba search mode.
-3. ``generate_items`` omits the pypinyin-filtered same-pinyin word set
-   (reference corrector.py:152-161) — candidates come from the custom
-   confusion dict and the similar-char table only.
+3. The same-pinyin word set (reference corrector.py:152-161) filters
+   against the embedded PINYIN_ZH dimension rather than pypinyin, so its
+   char universe is the curated table, not the full 3,502-char common set.
 4. Proper-noun correction (refimpl/proper.py, reference
    proper_corrector.py) is opt-in: pass ``proper=ProperCorrector(names)``.
    The default stays None so golden labels are stable; pinyin/stroke
@@ -203,12 +203,46 @@ class Corrector(Detector):
             return {self.custom_confusion[word]}
         return set()
 
+    def _pinyin_key(self, word: str) -> tuple:
+        """Toneless per-char pinyin tuple (lazy_pinyin role)."""
+        from .proper import pinyin_of
+
+        return tuple(pinyin_of(c) for c in word)
+
+    def _confusion_word_set(self, word: str) -> set:
+        """Same-pinyin known-word candidates one edit away (reference
+        corrector.py:152-161 + math_utils.edit_distance_word: transposes
+        and replacements over the common-char set, kept when the result
+        is a dict word with identical lazy pinyin)."""
+        from .proper import PINYIN_ZH
+
+        key = self._pinyin_key(word)
+        out = set()
+        # transposes
+        for i in range(len(word) - 1):
+            cand = word[:i] + word[i + 1] + word[i] + word[i + 2:]
+            if cand != word and cand in self.word_freq and self._pinyin_key(cand) == key:
+                out.add(cand)
+        # single-char replacements over the pinyin-known char universe
+        for i, orig in enumerate(word):
+            for ch in PINYIN_ZH:
+                if ch == orig:
+                    continue
+                cand = word[:i] + ch + word[i + 1:]
+                if cand in self.word_freq and self._pinyin_key(cand) == key:
+                    out.add(cand)
+        return out
+
     def generate_items(self, word: str, fragment: int = 1):
-        """Candidate set per reference corrector.py:169-221 (sans pinyin)."""
+        """Candidate set per reference corrector.py:169-221, including the
+        same-pinyin word set (corrector.py:152-161)."""
         candidates_1, candidates_2, candidates_3 = [], [], []
         candidates_1.extend(self._confusion_custom_set(word))
         if len(word) == 1:
             candidates_1.extend(i for i in self._confusion_char_set(word[0]) if i)
+        if len(word) >= 2:
+            # same-pinyin dict words one edit away (corrector.py:152-161)
+            candidates_1.extend(self._confusion_word_set(word))
         if len(word) == 2:
             conf_first = [i for i in self._confusion_char_set(word[0]) if i]
             candidates_2.extend(i + word[1] for i in conf_first)

@@ -149,3 +149,13 @@ def test_en_candidates_edit_distance_order(en):
     assert en.candidates("the") == {"the"}
     c1 = en.candidates("thw")
     assert "the" in c1
+
+
+def test_same_pinyin_word_candidates(zh):
+    # 权利 (not a dict word) -> 权力 (dict word, identical toneless pinyin,
+    # one replacement away) via the same-pinyin word set
+    assert "权力" in zh.generate_items("权利")
+    # transpose case is covered when both orders are dict words with the
+    # same multiset pinyin; absent here -> no spurious candidates
+    for cand in zh.generate_items("权利"):
+        assert cand != "权利"
