@@ -100,30 +100,58 @@ def _blake2b64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
+def _shingle_pos_mult(k: int) -> np.ndarray:
+    """Odd uint64 multipliers decorrelating the k shingle positions.
+    shingle_hash(w_j..w_{j+k-1}) = XOR_i (word_hash(w_{j+i}) * P_i):
+    order-sensitive, injective w.h.p. over 64 bits, and computed as k
+    shifted numpy views of ONE word-hash array — no per-shingle Python."""
+    rng = np.random.default_rng(99)
+    return (
+        (rng.integers(0, 1 << 63, size=k, dtype=np.uint64) << np.uint64(1))
+        | np.uint64(1)
+    )
+
+
+def _shingle_arrays(ids_in, texts, k, pos_mult, word_hash_cache):
+    """(kept_ids, [uint64->int64 shingle-hash arrays]) for one batch.
+    Rows with < k words are dropped (no shingles -> not a dedup
+    candidate; see minhash note). Word hashes are blake2b-64, memoized
+    per worker (web text repeats vocabulary massively)."""
+    ids, hashes = [], []
+    for i, t in zip(ids_in, texts):
+        words = [w for w in t.lower().split() if w]
+        if len(words) < k:
+            continue
+        wh = np.empty(len(words), dtype=np.uint64)
+        for j, w in enumerate(words):
+            h = word_hash_cache.get(w)
+            if h is None:
+                h = _blake2b64(w)
+                if len(word_hash_cache) < 1_000_000:
+                    word_hash_cache[w] = h
+            wh[j] = h
+        n_sh = len(words) - k + 1
+        mix = wh[:n_sh] * pos_mult[0]
+        for off in range(1, k):
+            mix = mix ^ (wh[off: off + n_sh] * pos_mult[off])
+        ids.append(i)
+        hashes.append(np.unique(mix).view(np.int64))
+    return ids, hashes
+
+
 def with_shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(id, shingle_hashes array<long>): distinct k-word shingle hashes.
-
-    One Arrow pass: tokenize + shingle + blake2b-64 in Python (hashes are
-    signed int64 views of the unsigned value). Rows with < k words are
-    dropped (no shingles -> not a dedup candidate; see minhash note).
-    """
+    """(id, shingle_hashes array<long>): distinct k-word shingle hashes
+    in one Arrow pass (signed int64 views of the uint64 values)."""
+    pos_mult = _shingle_pos_mult(k)
 
     def fn(it):
+        cache = {}
         for pdf in it:
-            ids, hashes = [], []
-            for i, t in zip(pdf[id_col], pdf[text_col].fillna("")):
-                words = [w for w in t.lower().split() if w]
-                if len(words) < k:
-                    continue
-                sh = dict.fromkeys(
-                    " ".join(words[j: j + k]) for j in range(len(words) - k + 1)
-                )
-                ids.append(i)
-                hashes.append(
-                    np.array([_blake2b64(s) for s in sh], dtype=np.uint64).view(np.int64)
-                )
+            ids, hashes = _shingle_arrays(
+                pdf[id_col], pdf[text_col].fillna(""), k, pos_mult, cache
+            )
             # explicit dtypes: an empty partition would otherwise yield
             # float64 columns Arrow can't cast to long / list<long>
             yield pd.DataFrame(
@@ -331,25 +359,36 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (the full scale pattern)."""
-    # persist: consumed three times (signatures + both verify sides); at
-    # web scale this is the intermediate you would materialize as a table
-    sh = with_shingle_hashes(df, id_col, text_col, k).persist()
     a, b = _minhash_params(num_perm, seed=42)
+    pos_mult = _shingle_pos_mult(k)
 
+    # ONE fused Python pass computes shingle hashes AND signatures, then
+    # persists: exactly one JVM->Python crossing for the whole Python
+    # side of the operator, and banding + both verify sides read the
+    # same cached table. At web scale this is the intermediate you
+    # would materialize as a table.
     def sig_fn(it):
+        cache = {}
         for pdf in it:
-            hash_lists = [
-                np.asarray(lst, dtype=np.int64).view(np.uint64)
-                for lst in pdf["shingle_hashes"]
-            ]
-            sigs = _minhash_batch(hash_lists, a, b)
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sigs)})
+            ids, hashes = _shingle_arrays(
+                pdf[id_col], pdf[text_col].fillna(""), k, pos_mult, cache
+            )
+            sigs = _minhash_batch(
+                [h.view(np.uint64) for h in hashes], a, b
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "shingle_hashes": pd.Series(hashes, dtype="object"),
+                    "sig": pd.Series(list(sigs), dtype="object"),
+                }
+            )
 
+    sh = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        sig_fn, f"{id_col} long, shingle_hashes array<long>, sig array<long>"
+    ).persist()
     cands = minhash_lsh_candidates(
-        sh.mapInPandas(sig_fn, f"{id_col} long, sig array<long>"),
-        id_col,
-        bands,
-        num_perm // bands,
+        sh.select(id_col, "sig"), id_col, bands, num_perm // bands
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
