@@ -490,3 +490,44 @@ def skip_grams(tokens, k: int = 1):
             f"{toks[i]}_{toks[i + 1 + g]}" for i in range(len(toks) - 1 - g)
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Long-sentence split + re-pack (reference utils/sentence_utils.py:19-70)
+# --------------------------------------------------------------------------
+
+_PERIOD_CHARS = set("。！？!?；;\n")
+_COMMA_CHARS = set("，,")
+
+
+def long_sentence_split(text: str, max_length: int = 128):
+    """Split on sentence-final punctuation, re-splitting any still-long
+    piece on commas, then greedily re-pack adjacent pieces up to
+    ``max_length`` (reference long_sentence_split semantics: punctuation
+    stays attached to its piece; concatenation of the result == input).
+    """
+
+    def split_keep(s, seps):
+        out, cur = [], []
+        for ch in s:
+            cur.append(ch)
+            if ch in seps:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    pieces = []
+    for p in split_keep(text, _PERIOD_CHARS):
+        if len(p) <= max_length:
+            pieces.append(p)
+        else:
+            pieces.extend(split_keep(p, _COMMA_CHARS))
+    packed = []
+    for p in pieces:
+        if packed and len(packed[-1]) + len(p) <= max_length:
+            packed[-1] += p
+        else:
+            packed.append(p)
+    return packed

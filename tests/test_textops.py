@@ -183,3 +183,15 @@ def test_skip_grams():
     assert skip_grams(["a", "b", "c", "d"], 2) == ["a_c", "b_d", "a_d"]
     assert skip_grams(["a", "b"], 2) == []
     assert skip_grams([], 1) == []
+
+
+def test_long_sentence_split_packs_and_reassembles():
+    from pycorrector_spark.textops import long_sentence_split
+
+    text = "第一句。第二句！第三句，带逗号的很长一段，再来一点。尾巴"
+    parts = long_sentence_split(text, max_length=10)
+    assert "".join(parts) == text
+    assert all(len(p) <= 10 or ("，" not in p and "。" not in p[:-1]) for p in parts)
+    # short text stays whole
+    assert long_sentence_split("短句。", max_length=128) == ["短句。"]
+    assert long_sentence_split("", max_length=16) == []
