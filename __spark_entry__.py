@@ -301,10 +301,12 @@ def q_ann_ivf(spark, sf_dir):
     from pycorrector_spark.operators.similarity import ivf_topk, kmeans_centroids
 
     emb = _emb(spark, sf_dir)
+    # centroid training sample may be arbitrary rows; the query set must
+    # be selected explicitly (limit() has no ordering guarantee)
     sample = emb.select("vec_id", "embedding").limit(2000).toPandas()
     vecs = np.stack(sample["embedding"].apply(np.asarray).values)
     cents = kmeans_centroids(vecs, k=8)
-    queries_pdf = sample[sample["vec_id"] < 8]
+    queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
     return ivf_topk(emb, queries_pdf, cents, k=5, nprobe=3)
 
 

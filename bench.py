@@ -10,7 +10,7 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 Modes:
     python bench.py                      # headline suite, one JSON line
     python bench.py --pipeline-only      # just the quality-filter pipeline
-    python bench.py --scaling            # N vs 4N cores (8 vs 32) scaling
+    python bench.py --scaling            # N vs 4N cores (default 4 vs 16)
                                          # run; writes BENCH/BASELINE.md
 
 Timing methodology: each query materializes fully via a noop-format write

@@ -18,6 +18,8 @@ resumes produce identical clusters.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -93,11 +95,7 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     return df.select(F.col(id_col), shingles.alias("shingles"))
 
 
-def _blake2b64(s: str) -> int:
-    """Deterministic 64-bit shingle hash (C-speed, seed-independent)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+from ..textops import blake2b64 as _blake2b64
 
 
 def _shingle_pos_mult(k: int) -> np.ndarray:
@@ -112,14 +110,22 @@ def _shingle_pos_mult(k: int) -> np.ndarray:
     )
 
 
+_TOKEN_SPLIT_RE = re.compile(TOKEN_SPLIT)
+
+
 def _shingle_arrays(ids_in, texts, k, pos_mult, word_hash_cache):
     """(kept_ids, [uint64->int64 shingle-hash arrays]) for one batch.
     Rows with < k words are dropped (no shingles -> not a dedup
     candidate; see minhash note). Word hashes are blake2b-64, memoized
-    per worker (web text repeats vocabulary massively)."""
+    per worker (web text repeats vocabulary massively).
+
+    Tokenization is the FROZEN [ \\t\\n\\r]+ splitter shared with the JVM
+    path and the DuckDB oracles — NOT str.split(), which also breaks on
+    unicode whitespace (NBSP, U+3000, \\x0b...) and would silently change
+    shingle sets on real web text."""
     ids, hashes = [], []
     for i, t in zip(ids_in, texts):
-        words = [w for w in t.lower().split() if w]
+        words = [w for w in _TOKEN_SPLIT_RE.split(t.lower()) if w]
         if len(words) < k:
             continue
         wh = np.empty(len(words), dtype=np.uint64)
@@ -316,11 +322,15 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Band key = (band_index, hash of that band's signature slice); the
-    bucket join shuffles only (id, band_key) pairs.
+    bucket join shuffles only (id, band_key) pairs. ``persist=True``
+    caches the banded table so the self-join does not recompute the
+    upstream signature stage twice; pass False when sig_df is already
+    cached (the banding projection itself is cheap JVM work).
     """
     assert_cols = bands * rows_per_band
     banded = sig_df.select(
@@ -333,8 +343,9 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band", "bucket"),
-    ).persist()  # both sides of the self-join scan this; without persist the
-    # whole upstream Python signature stage runs twice
+    )
+    if persist:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -388,7 +399,7 @@ def minhash_dedup_pairs(
         sig_fn, f"{id_col} long, shingle_hashes array<long>, sig array<long>"
     ).persist()
     cands = minhash_lsh_candidates(
-        sh.select(id_col, "sig"), id_col, bands, num_perm // bands
+        sh.select(id_col, "sig"), id_col, bands, num_perm // bands, persist=False
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
@@ -421,7 +432,7 @@ def simhash64(
             out = np.empty(len(pdf), dtype=np.int64)
             texts = pdf[text_col].fillna("")
             for i, t in enumerate(texts):
-                words = [w for w in t.lower().split() if w]
+                words = [w for w in _TOKEN_SPLIT_RE.split(t.lower()) if w]
                 if not words:
                     out[i] = 0
                     continue

@@ -234,6 +234,9 @@ def ivf_topk(
     for qi in range(len(qids)):
         probe_mask[qi, probe_cells[qi]] = True
     qnorm = np.linalg.norm(qmat, axis=1)
+    # zero-norm guard (same as cosine_near_dup_pairs): a zero query can
+    # never match; inf norm makes its cosines 0 instead of NaN
+    qnorm[qnorm == 0] = np.inf
     c_norm2 = (cb ** 2).sum(axis=1)
 
     # ONE fused Python pass: assign cells, drop rows outside every probed
@@ -253,6 +256,7 @@ def ivf_topk(
                 continue
             mat, ids, cells = mat[in_any], ids[in_any], cells[in_any]
             norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.inf  # zero corpus vectors score 0, not NaN
             sims = (mat @ qmat.T) / np.outer(norms, qnorm)
             rows = []
             for qi in range(len(qids)):
@@ -347,6 +351,7 @@ def matmul_topk(
     qids = queries_pdf[id_col].to_numpy()
     qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf  # zero vectors score 0 cosine, not NaN
 
     def fn(it):
         for pdf in it:
@@ -355,6 +360,7 @@ def matmul_topk(
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
             ids = pdf[id_col].to_numpy()
             norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.inf
             sims = (mat @ qmat.T) / np.outer(norms, qnorm)
             rows = []
             for qi in range(len(qids)):

@@ -182,13 +182,20 @@ class ProperCorrector:
                     continue
                 if gram in self.names:  # exact hit: already proper
                     continue
+                # best-SCORING candidate above threshold (vote order is a
+                # recall ranking, not a similarity ranking — two names can
+                # tie on votes with very different similarities)
+                best = None
                 for name in self.get_candidate_names(gram):
                     if name == gram:
                         continue
                     score = self.word_similarity(gram, name)
-                    if score >= self.sim_threshold:
-                        cand_spans.append((gram, name, i, ln, score))
-                        break  # candidates sorted best-first by votes
+                    if score >= self.sim_threshold and (
+                        best is None or score > best[4]
+                    ):
+                        best = (gram, name, i, ln, score)
+                if best is not None:
+                    cand_spans.append(best)
         # overlap resolution: (len desc, score desc), claim spans,
         # apply right-to-left so earlier indexes stay valid
         cand_spans.sort(key=lambda t: (-t[3], -t[4], t[2]))

@@ -66,21 +66,26 @@ def run_streaming_pipeline(
 ):
     """Start (and with ``available_now`` drain + stop) the streaming job.
 
-    Sinks: ``{out_dir}/docs_out`` parquet (exactly-once via the streaming
-    file sink's commit log) and ``{out_dir}/audit`` (appended per
-    micro-batch inside foreachBatch). Restart with the same checkpoint dir
-    resumes from the last committed batch — the streaming counterpart of
-    the batch job's anti-join resume.
+    Sinks: ``{out_dir}/docs_out`` and ``{out_dir}/audit`` parquet, written
+    per micro-batch into an ``epoch=<id>/`` subdirectory with OVERWRITE
+    semantics. foreachBatch is at-least-once (an epoch that wrote its
+    files but crashed before the checkpoint committed is re-run on
+    restart), so the sink must be idempotent per epoch — overwriting the
+    epoch's own directory makes the replay a no-op instead of an append
+    duplication. Readers see one consistent copy via partition discovery
+    (``spark.read.parquet(out_dir/docs_out)``). Restart with the same
+    checkpoint resumes from the last committed batch — the streaming
+    counterpart of the batch job's anti-join resume.
     """
     scored = stream_quality_pipeline(spark, input_dir, cfg)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        batch_df.drop("errors", "corrections").write.mode("append").parquet(
-            f"{out_dir}/docs_out"
+        batch_df.drop("errors", "corrections").write.mode("overwrite").parquet(
+            f"{out_dir}/docs_out/epoch={epoch_id}"
         )
-        audit_frame(batch_df, run_id=f"epoch-{epoch_id}").write.mode("append").parquet(
-            f"{out_dir}/audit"
+        audit_frame(batch_df, run_id=f"epoch-{epoch_id}").write.mode("overwrite").parquet(
+            f"{out_dir}/audit/epoch={epoch_id}"
         )
 
     writer = (

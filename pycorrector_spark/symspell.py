@@ -23,13 +23,9 @@ index reproduce known(edits1)/known(edits2) exactly.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
-
-def _h64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+from .textops import blake2b64 as _h64
 
 
 def deletes_upto2(word: str):
@@ -46,7 +42,11 @@ def deletes_upto2(word: str):
 
 def osa_distance(a: str, b: str, cap: int = 3) -> int:
     """Optimal-string-alignment distance (Levenshtein + adjacent transpose),
-    banded: returns ``cap`` if the distance exceeds ``cap - 1``."""
+    banded: returns ``cap`` if the distance exceeds ``cap - 1``.
+
+    Used only by tests to cross-verify the distance-1 tier (OSA == DL at
+    distance 1). candidates() verifies with dl_distance — OSA under-counts
+    two-step compositions like et -> te -> the."""
     la, lb = len(a), len(b)
     if abs(la - lb) >= cap:
         return cap
@@ -136,7 +136,10 @@ class DeletesIndex:
         self.idxs = idxs[order]
 
     def candidates(self, word: str):
-        """{dict_word: osa_distance} for every dict word within OSA ≤ 2."""
+        """{dict_word: dl_distance} for every dict word within
+        unrestricted Damerau-Levenshtein ≤ 2 (NOT OSA — see dl_distance:
+        Norvig's edits2 composes two independent edit passes, which
+        equals unrestricted DL, not OSA)."""
         qkeys = np.array([_h64(d) for d in deletes_upto2(word)], dtype=np.uint64)
         lo = np.searchsorted(self.keys, qkeys, side="left")
         hi = np.searchsorted(self.keys, qkeys, side="right")

@@ -18,6 +18,7 @@ forms operating on pandas Series for Arrow-batched UDFs.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from functools import lru_cache
 
@@ -531,3 +532,13 @@ def long_sentence_split(text: str, max_length: int = 128):
         else:
             packed.append(p)
     return packed
+
+
+def blake2b64(s: str) -> int:
+    """Deterministic 64-bit content hash (blake2b digest_size=8, little-
+    endian) — the ONE hashing primitive shared by the shingle index
+    (operators/dedup.py) and the SymSpell deletes index (symspell.py);
+    changing it changes both consistently."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
