@@ -132,7 +132,11 @@ def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
     n = len(pdf)
     text = pdf["text"].astype(object)
     sig = signals_frame(pdf["text"])
-    pdf = pd.concat([pdf, sig], axis=1)
+    # input tables may carry columns colliding with computed signal names
+    # (e.g. an upstream n_chars); the computed values win — a duplicate
+    # label would make pdf["n_chars"] a 2-column frame and break the
+    # decision math below
+    pdf = pd.concat([pdf.drop(columns=sig.columns, errors="ignore"), sig], axis=1)
     lang = pdf["lang_id"].astype(object)
 
     cheap_pass = (

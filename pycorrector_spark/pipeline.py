@@ -65,7 +65,13 @@ def run_quality_pipeline(
     # mapInPandas is schema-opaque). Everything (cheap signals, gate, LM,
     # detect/correct, scrub, decision) runs in ONE Arrow pass: a single
     # stage, no shuffle, no extra JVM<->Python exchanges.
-    cols = [c for c in docs.columns if c != "html"]
+    # also exclude any input column that collides with a computed output
+    # name (e.g. an upstream n_chars/lang_id) — the stage recomputes and
+    # owns those; a duplicate name would be an invalid output schema
+    from .operators.score import SCORE_SCHEMA_SUFFIX
+
+    computed = {f.split()[0] for f in SCORE_SCHEMA_SUFFIX.split(", ")}
+    cols = [c for c in docs.columns if c != "html" and c not in computed]
     staged = docs.select(*cols)
     input_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields)
     fn, out_schema = make_score_stage(bc, input_ddl)

@@ -410,7 +410,8 @@ class EnSpellCorrector:
         text_new = ""
         details = []
         for w, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):
-            if len(w) > 1 and all(("a" <= c <= "z") or ("A" <= c <= "Z") for c in w):
+            # ascii+alpha == all chars in [A-Za-z], at C speed
+            if len(w) > 1 and w.isascii() and w.isalpha():
                 if w in self.confusion:
                     corrected = self.confusion[w]
                 else:

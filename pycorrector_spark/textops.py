@@ -67,12 +67,16 @@ def uniform_series(s: pd.Series) -> pd.Series:
 # Char-class predicates
 # --------------------------------------------------------------------------
 
+_CJK_FULL_RE = re.compile(r"[一-龥]+\Z")
+
+
 def is_cjk_char(ch: str) -> bool:
     return "一" <= ch <= "龥"
 
 
 def is_cjk_string(s: str) -> bool:
-    return bool(s) and all(is_cjk_char(c) for c in s)
+    # C-speed regex fullmatch — called per token in the detector hot loop
+    return bool(s) and _CJK_FULL_RE.match(s) is not None
 
 
 def is_alpha_char(ch: str) -> bool:
@@ -80,7 +84,8 @@ def is_alpha_char(ch: str) -> bool:
 
 
 def is_alpha_string(s: str) -> bool:
-    return bool(s) and all(is_alpha_char(c) for c in s)
+    # ascii+alpha == [A-Za-z]+ exactly, at C speed (vs per-char Python)
+    return bool(s) and s.isascii() and s.isalpha()
 
 
 def is_digit_string(s: str) -> bool:
