@@ -80,7 +80,7 @@ WITH sig AS (
          length(regexp_replace(text, '{_WS_PAT}', '', 'g')) AS n_ns,
          length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) AS n_cjk,
          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 ), sig2 AS (
   SELECT *,
          len(words) AS n_words,

@@ -254,16 +254,17 @@ def mad_outlier_indices(scores: np.ndarray, ratio: float = 0.6745, threshold: fl
 
 def stddev_outlier_indices(scores: np.ndarray, n_sigma: float = 2.0):
     """Mean +- n*sigma outlier rule — reference detector.py:357-372 (the
-    unused alternative to the MAD test; kept for config parity). Flags i
-    where s_i < mean - n_sigma * std."""
+    unused alternative to the MAD test; kept for config parity). Matches
+    the reference exactly: sample std (ddof=1) and BOTH tails flagged."""
     scores = np.asarray(scores, dtype=np.float64)
-    if len(scores) == 0:
+    if len(scores) < 2:
         return []
-    std = scores.std()
+    std = scores.std(ddof=1)
     if std == 0:
         return []
-    cutoff = scores.mean() - n_sigma * std
-    return [int(i) for i in np.where(scores < cutoff)[0]]
+    mean = scores.mean()
+    lo, hi = mean - n_sigma * std, mean + n_sigma * std
+    return [int(i) for i in np.where((scores < lo) | (scores > hi))[0]]
 
 
 def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
@@ -271,7 +272,19 @@ def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
 
     ``corpus``: iterable of sentences (strings). Deterministic: vocabulary
     ids assigned in sorted char order.
+
+    Only ``min_count=1`` is supported: with a cutoff, sub-threshold chars
+    would all map to the unk id, so distinct pruned n-grams collapse to
+    one packed key — the count tables below would then need re-aggregation
+    before probability estimation (duplicate keys otherwise corrupt the
+    unigram/backoff arrays). Rejected explicitly rather than silently
+    mis-trained; vocabulary pruning belongs in corpus preparation.
     """
+    if min_count != 1:
+        raise ValueError(
+            "train_char_lm supports min_count=1 only; prune the corpus "
+            "vocabulary upstream instead (see docstring)"
+        )
     uni = Counter()
     bi = Counter()
     tri = Counter()

@@ -2,9 +2,10 @@
 
 These stay JVM-side (whole-stage codegen; no Python worker round-trip) and
 are the frozen SQL-portable definitions of textops.quality_signals /
-textops.lang_id. Parity with the Python scalar forms is test-enforced
-char-for-char on the fixture set (tests/test_quality_parity.py), and with
-DuckDB through the driver's oracle gate.
+textops.lang_id. Parity with the Python scalar forms is test-enforced on
+the fixture set (tests/test_textops.py signal tests + the pipeline parity
+suite), and with DuckDB through the driver's oracle gate. NULL text is
+treated as '' (same as the pandas path's fillna).
 
 At 100 TB these expressions run inside the parquet scan stage — Catalyst
 prunes unused columns and fuses the regexp_count/filter chain into one
@@ -16,19 +17,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..textops import MIN_LEN, MAX_LEN, SCRUB_PATTERNS, SCRUB_STRIP_CHARS
-
-WS_LIT = " \t\n\r"
-SYM_PATTERN = r"[^一-龥a-zA-Z0-9 \t\n\r]"
-WS_PATTERN = r"[ \t\n\r]"
-SPLIT_PATTERN = r"[ \t\n\r]+"
-CJK_PATTERN = r"[一-龥]"
-LATIN_PATTERN = r"[A-Za-z]"
+from ..textops import (
+    CJK_PATTERN,
+    LATIN_PATTERN,
+    MAX_LEN,
+    MIN_LEN,
+    NON_ALNUM_PATTERN as SYM_PATTERN,
+    SCRUB_PATTERNS,
+    SCRUB_STRIP_CHARS,
+    WORD_SPLIT_PATTERN as SPLIT_PATTERN,
+    WS_CHARS as WS_LIT,
+    WS_PATTERN,
+)
 
 
 def with_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add n_chars, n_words, symbol_ratio, rep_ratio, len_ok."""
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     stripped = F.btrim(c, F.lit(WS_LIT))
     n_chars = F.length(c)
     n_sym = F.regexp_count(c, F.lit(SYM_PATTERN))
@@ -55,7 +60,7 @@ def with_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add lang_id + lang_conf (frozen heuristic, textops.lang_id)."""
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_ns = F.length(c) - F.regexp_count(c, F.lit(WS_PATTERN))
     cjk_ratio = F.regexp_count(c, F.lit(CJK_PATTERN)) / n_ns
     latin_ratio = F.regexp_count(c, F.lit(LATIN_PATTERN)) / n_ns
@@ -78,7 +83,7 @@ def scrub_expr(text_col: str = "text") -> Column:
     """Native (JVM-codegen) scrub: the same SCRUB_PATTERNS chain as the
     pandas stage, as regexp_replace expressions. Parity with
     textops.scrub_text is test-enforced."""
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     for _name, pat, repl in SCRUB_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return F.btrim(c, F.lit(SCRUB_STRIP_CHARS))

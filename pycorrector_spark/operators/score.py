@@ -101,19 +101,25 @@ def _get_workers(bc):
 # Batch processing (shared by the Spark stage and unit tests)
 # ---------------------------------------------------------------------------
 
-SIGNAL_SCHEMA = (
-    "n_chars long, n_words long, symbol_ratio double, rep_ratio double, "
-    "len_ok boolean, lang_id string, lang_conf double"
-)
+# explicit (name, ddl) list — the one source of truth for computed output
+# columns; the DDL strings and the input-collision exclusion are both
+# derived from it (never re-parse a DDL string to recover names)
+SIGNAL_COLS = [
+    ("n_chars", "long"), ("n_words", "long"), ("symbol_ratio", "double"),
+    ("rep_ratio", "double"), ("len_ok", "boolean"), ("lang_id", "string"),
+    ("lang_conf", "double"),
+]
+SCORE_COLS = SIGNAL_COLS + [
+    ("ppl", "double"), ("n_errors", "int"), ("error_density", "double"),
+    ("errors", "array<struct<word:string,begin:int,end:int,type:string>>"),
+    ("corrected_text", "string"),
+    ("corrections", "array<struct<error_word:string,correct_word:string,pos:int>>"),
+    ("scrubbed_text", "string"), ("keep", "boolean"), ("drop_reason", "string"),
+]
+COMPUTED_COLS = [name for name, _ in SCORE_COLS]
 
-SCORE_SCHEMA_SUFFIX = (
-    SIGNAL_SCHEMA + ", "
-    "ppl double, n_errors int, error_density double, "
-    "errors array<struct<word:string,begin:int,end:int,type:string>>, "
-    "corrected_text string, "
-    "corrections array<struct<error_word:string,correct_word:string,pos:int>>, "
-    "scrubbed_text string, keep boolean, drop_reason string"
-)
+SIGNAL_SCHEMA = ", ".join(f"{n} {t}" for n, t in SIGNAL_COLS)
+SCORE_SCHEMA_SUFFIX = ", ".join(f"{n} {t}" for n, t in SCORE_COLS)
 
 
 def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
@@ -213,14 +219,30 @@ def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
     return out
 
 
-def make_score_stage(bc, input_schema_ddl: str):
+def make_score_stage(bc, input_fields):
     """Build (mapInPandas function, output schema DDL) for the one-pass
-    stage: signals + gate + LM + detect/correct + scrub + decision."""
-    schema = input_schema_ddl + ", " + SCORE_SCHEMA_SUFFIX
+    stage: signals + gate + LM + detect/correct + scrub + decision.
+
+    ``input_fields``: list of (name, ddl_type) for the input columns (or a
+    pre-built DDL string for backward compatibility — discouraged, since
+    name recovery from DDL is fragile). Input columns colliding with
+    COMPUTED_COLS are excluded here — the stage recomputes and owns those —
+    so EVERY caller (batch pipeline, streaming, tests) gets a valid
+    duplicate-free output schema."""
+    if isinstance(input_fields, str):
+        input_fields = [
+            (f.split()[0], f.split(None, 1)[1]) for f in input_fields.split(", ")
+        ]
+    computed = set(COMPUTED_COLS)
+    kept = [(n, t) for n, t in input_fields if n not in computed]
+    dropped = [n for n, _ in input_fields if n in computed]
+    schema = ", ".join(f"{n} {t}" for n, t in kept) + ", " + SCORE_SCHEMA_SUFFIX
 
     def fn(iterator):
         art, zh, en = _get_workers(bc)
         for pdf in iterator:
+            if dropped:
+                pdf = pdf.drop(columns=dropped, errors="ignore")
             yield process_batch(pdf, zh, en, art.cfg)
 
     return fn, schema

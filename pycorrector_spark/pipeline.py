@@ -65,16 +65,17 @@ def run_quality_pipeline(
     # mapInPandas is schema-opaque). Everything (cheap signals, gate, LM,
     # detect/correct, scrub, decision) runs in ONE Arrow pass: a single
     # stage, no shuffle, no extra JVM<->Python exchanges.
-    # also exclude any input column that collides with a computed output
-    # name (e.g. an upstream n_chars/lang_id) — the stage recomputes and
-    # owns those; a duplicate name would be an invalid output schema
-    from .operators.score import SCORE_SCHEMA_SUFFIX
+    # also exclude input columns colliding with computed output names
+    # (e.g. an upstream n_chars/lang_id) BEFORE the Arrow exchange so dead
+    # columns are never shipped; make_score_stage applies the same
+    # exclusion to the schema for callers that don't pre-drop
+    from .operators.score import COMPUTED_COLS
 
-    computed = {f.split()[0] for f in SCORE_SCHEMA_SUFFIX.split(", ")}
+    computed = set(COMPUTED_COLS)
     cols = [c for c in docs.columns if c != "html" and c not in computed]
     staged = docs.select(*cols)
-    input_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields)
-    fn, out_schema = make_score_stage(bc, input_ddl)
+    fields = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
+    fn, out_schema = make_score_stage(bc, fields)
     return staged.mapInPandas(fn, out_schema)
 
 
@@ -124,17 +125,36 @@ def run_with_resume(
     out_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> None:
-    """Checkpoint-resume: left-anti join against already-written urls.
+    """Checkpoint-resume: left-anti join against already-written keys.
 
     Restartable mid-run: whatever made it into docs_out stays; the next run
     processes only the remainder (no dups, no gaps — verified by
-    tests/test_resume.py).
+    tests/test_resume.py). The key is (url, warc_ts) when both inputs carry
+    warc_ts, else url alone (the input contract treats url as the document
+    primary key, but keying on the snapshot timestamp too means multiple
+    snapshots of one url can never shadow each other across a resume).
+
+    Only a MISSING output path falls back to the full input; any other
+    read failure (corrupt footer, permissions, schema drift) must raise —
+    silently reprocessing everything would append the whole corpus as
+    duplicates.
     """
+    from pyspark.errors import AnalysisException
+
     try:
-        done = spark.read.parquet(f"{out_dir}/docs_out").select("url").distinct()
+        existing = spark.read.parquet(f"{out_dir}/docs_out")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        existing = None
+    if existing is not None:
+        keys = ["url"]
+        if "warc_ts" in docs.columns and "warc_ts" in existing.columns:
+            keys = ["url", "warc_ts"]
+        done = existing.select(*keys).distinct()
         todo = docs.join(F.broadcast(done) if done.count() < 1_000_000 else done,
-                         "url", "left_anti")
-    except Exception:
+                         keys, "left_anti")
+    else:
         todo = docs
     scored = run_quality_pipeline(spark, todo, cfg)
     write_outputs(scored, out_dir)

@@ -50,10 +50,8 @@ def stream_quality_pipeline(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
     staged = docs.select(*[c for c in docs.columns if c != "html"])
-    input_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
-    )
-    fn, out_schema = make_score_stage(bc, input_ddl)
+    fields = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
+    fn, out_schema = make_score_stage(bc, fields)
     return staged.mapInPandas(fn, out_schema)
 
 

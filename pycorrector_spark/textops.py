@@ -244,6 +244,11 @@ class MultiPatternScanner:
 # RE2 (no \s, no lookaround, no backrefs) so the SAME strings drive the
 # pandas stage, the native Spark regexp_replace chain, and the DuckDB
 # oracle. Order matters (url before ip, ip before phone).
+#
+# Compiled with re.ASCII: Java regex and RE2 treat \b/\d/\w as ASCII by
+# default, while Python's are unicode-aware — without the flag, \b after
+# a CJK char never matches (PII adjacent to Chinese text leaks through)
+# and \d matches fullwidth digits (scrubbing strings the oracle keeps).
 SCRUB_PATTERNS = [
     # (name, pattern string, replacement)
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
@@ -254,7 +259,7 @@ SCRUB_PATTERNS = [
     ("ws_collapse", r"[ \t]+", " "),
 ]
 
-SCRUB_RULES = [(n, re.compile(p), r) for n, p, r in SCRUB_PATTERNS]
+SCRUB_RULES = [(n, re.compile(p, re.ASCII), r) for n, p, r in SCRUB_PATTERNS]
 
 SCRUB_STRIP_CHARS = " \t\n\r"
 
@@ -282,11 +287,16 @@ def scrub_series(s: pd.Series) -> pd.Series:
 # Java regex (Spark), and RE2 (DuckDB). Deliberately no `\s` / str.strip()
 # (their unicode behavior differs across engines).
 WS_CHARS = " \t\n\r"
-WORD_SPLIT_RE = re.compile(r"[ \t\n\r]+")
-NON_ALNUM_RE = re.compile(r"[^一-龥a-zA-Z0-9 \t\n\r]")
-WS_RE = re.compile(r"[ \t\n\r]")
-CJK_RE = re.compile(r"[一-龥]")
-LATIN_RE = re.compile(r"[A-Za-z]")
+WORD_SPLIT_PATTERN = r"[ \t\n\r]+"
+NON_ALNUM_PATTERN = r"[^一-龥a-zA-Z0-9 \t\n\r]"
+WS_PATTERN = r"[ \t\n\r]"
+CJK_PATTERN = r"[一-龥]"
+LATIN_PATTERN = r"[A-Za-z]"
+WORD_SPLIT_RE = re.compile(WORD_SPLIT_PATTERN)
+NON_ALNUM_RE = re.compile(NON_ALNUM_PATTERN)
+WS_RE = re.compile(WS_PATTERN)
+CJK_RE = re.compile(CJK_PATTERN)
+LATIN_RE = re.compile(LATIN_PATTERN)
 
 MIN_LEN = 8           # chars; shorter docs are junk
 MAX_LEN = 1_000_000   # chars
@@ -528,7 +538,16 @@ def long_sentence_split(text: str, max_length: int = 128):
         if len(p) <= max_length:
             pieces.append(p)
         else:
-            pieces.extend(split_keep(p, _COMMA_CHARS))
+            for q in split_keep(p, _COMMA_CHARS):
+                if len(q) <= max_length:
+                    pieces.append(q)
+                else:
+                    # comma-free over-long run: fixed-width fallback
+                    # (reference same_split role) so no piece can exceed
+                    # max_length
+                    pieces.extend(
+                        q[i: i + max_length] for i in range(0, len(q), max_length)
+                    )
     packed = []
     for p in pieces:
         if packed and len(packed[-1]) + len(p) <= max_length:

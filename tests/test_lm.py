@@ -108,6 +108,16 @@ def test_stddev_outlier_indices():
     scores = np.array([-1.0, -1.1, -0.9, -1.0] * 3 + [-8.0])
     assert stddev_outlier_indices(scores) == [12]
     assert stddev_outlier_indices(np.array([])) == []
+    assert stddev_outlier_indices(np.array([5.0])) == []
     assert stddev_outlier_indices(np.array([2.0, 2.0, 2.0])) == []
-    # low-side only: a HIGH outlier is never flagged
-    assert stddev_outlier_indices(np.array([-1.0, -1.1, -0.9, -1.0] * 3 + [6.0])) == []
+    # reference semantics: BOTH tails flagged (detector.py:357-372)
+    assert stddev_outlier_indices(np.array([-1.0, -1.1, -0.9, -1.0] * 3 + [6.0])) == [12]
+
+
+def test_train_char_lm_rejects_min_count():
+    import pytest
+
+    from pycorrector_spark.lm.model import train_char_lm
+
+    with pytest.raises(ValueError):
+        train_char_lm(["abc"], min_count=2)
