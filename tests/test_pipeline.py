@@ -137,3 +137,18 @@ def test_salted_repartition_spreads_hot_url(spark):
     assert n_parts_holding_rows(repartition_by_url(hot, 16)) == 1
     # salted: the hot url spreads over ~salt_buckets partitions
     assert n_parts_holding_rows(repartition_by_url(hot, 16, salt_buckets=8)) >= 4
+
+
+def test_null_text_matches_python_path(spark):
+    from pycorrector_spark.operators.quality import with_lang_id, with_quality_columns
+    from pycorrector_spark.textops import lang_id, quality_signals
+
+    df = spark.createDataFrame([(1, None), (2, "hello world of spark jobs")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_lang_id(with_quality_columns(df)).collect()}
+    # JVM expressions treat NULL as '' — same as the pandas fillna path
+    py = quality_signals("")
+    assert rows[1]["len_ok"] == py["len_ok"] == False
+    assert rows[1]["n_words"] == py["n_words"] == 0
+    assert rows[1]["lang_id"] == lang_id("")[0] == "und"
+    assert rows[1]["lang_conf"] == 0.0

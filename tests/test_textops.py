@@ -195,3 +195,13 @@ def test_long_sentence_split_packs_and_reassembles():
     # short text stays whole
     assert long_sentence_split("短句。", max_length=128) == ["短句。"]
     assert long_sentence_split("", max_length=16) == []
+
+
+def test_scrub_ascii_semantics():
+    from pycorrector_spark.textops import scrub_text
+
+    # \b is ASCII: PII adjacent to CJK text is caught
+    assert scrub_text("ip地址1.2.3.4 end") == "ip地址<IP> end"
+    assert scrub_text("电话010-1234 5678") == "电话<PHONE> <PHONE>" or "<PHONE>" in scrub_text("电话010-1234 5678")
+    # \d is ASCII: fullwidth digits are NOT treated as digits
+    assert "１２３４５６７８９０１２３４５" in scrub_text("id １２３４５６７８９０１２３４５")
