@@ -42,9 +42,10 @@ def corrected_frame(
     def fn(it):
         _, zh, _ = _get_workers(bc)
         for pdf in it:
-            corrected = [zh.correct(s)["target"] for s in pdf[src_col].fillna("")]
+            src = pdf[src_col].fillna("")
+            corrected = [zh.correct(s)["target"] for s in src]
             yield pd.DataFrame(
-                {"src": pdf[src_col], "tgt": pdf[tgt_col], "corrected": corrected}
+                {"src": src, "tgt": pdf[tgt_col].fillna(""), "corrected": corrected}
             )
 
     return ensure_parallelism(pairs.select(src_col, tgt_col)).mapInPandas(
@@ -66,8 +67,11 @@ def eval_metrics(corrected: DataFrame) -> DataFrame:
     )
     prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
     rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    acc = F.when(
+        F.col("n") > 0, (F.col("tp") + F.col("tn")) / F.col("n")
+    ).otherwise(0.0)
     return (
-        agg.withColumn("acc", (F.col("tp") + F.col("tn")) / F.col("n"))
+        agg.withColumn("acc", acc)
         .withColumn("precision", prec)
         .withColumn("recall", rec)
         .withColumn(

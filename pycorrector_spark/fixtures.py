@@ -152,7 +152,6 @@ def make_docs(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
     rows = []
     for i in range(n_docs):
         r = rng.random()
-        corrupted = False
         if r < 0.05:
             # junk / degenerate rows (reference detector_test.py:65 style)
             text = JUNK_TEXTS[int(rng.integers(0, len(JUNK_TEXTS)))]
@@ -163,7 +162,7 @@ def make_docs(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
             sents = [CLEAN_ZH[int(rng.integers(0, len(CLEAN_ZH)))] for _ in range(k)]
             if rng.random() < 0.4:
                 j = int(rng.integers(0, k))
-                sents[j], corrupted = corrupt_sentence(sents[j], rng)
+                sents[j], _ = corrupt_sentence(sents[j], rng)
             text = "".join(sents)
             lang = "zh"
         else:
@@ -171,7 +170,7 @@ def make_docs(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
             sents = [CLEAN_EN[int(rng.integers(0, len(CLEAN_EN)))] for _ in range(k)]
             if rng.random() < 0.4:
                 j = int(rng.integers(0, k))
-                sents[j], corrupted = corrupt_en(sents[j], rng)
+                sents[j], _ = corrupt_en(sents[j], rng)
             text = ". ".join(sents)
             lang = "en"
         # ~6% of rows get a PII snippet appended (scrub coverage)

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"[ \t\n\r]+"
+from ..textops import WORD_SPLIT_PATTERN as TOKEN_SPLIT  # single frozen splitter
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
@@ -47,20 +47,27 @@ def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per distinct text: (text_md5, keeper_id, n_dups)."""
+    """One row per distinct text: (text_md5, keeper_id, n_dups).
+
+    NULL-text rows are excluded: md5(NULL) is NULL and groupBy would lump
+    every NULL row into one "duplicate" group even though no text equality
+    holds between them."""
     return (
-        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"), F.col(id_col))
         .groupBy("text_md5")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
     )
 
 
 def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Filter df to one keeper row per distinct text (min id wins)."""
+    """Filter df to one keeper row per distinct text (min id wins).
+    NULL-text rows pass through untouched — they were never compared."""
     keep = exact_dedup_groups(df, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    nn = F.col(text_col).isNotNull()
+    return df.filter(~nn).unionByName(df.filter(nn).join(keep, id_col, "left_semi"))
 
 
 # ---------------------------------------------------------------------------
@@ -216,9 +223,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MAX_HASH = np.uint64((1 << 32) - 1)
-
-
 def _minhash_params(num_perm: int, seed: int = 42):
     """Multiply-shift universal-hash parameters (odd multipliers).
 
@@ -231,17 +235,6 @@ def _minhash_params(num_perm: int, seed: int = 42):
     a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
-
-
-_U64 = 0xFFFFFFFFFFFFFFFF
-
-
-def _shingle_hash64(shingle: str) -> int:
-    """Deterministic FNV-1a 64-bit hash of a shingle string."""
-    h = 0xCBF29CE484222325
-    for byte in shingle.encode("utf-8"):
-        h = ((h ^ byte) * 0x100000001B3) & _U64
-    return h
 
 
 def _minhash_batch(shingle_lists, a, b):
@@ -323,6 +316,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     persist: bool = True,
+    expected_perm: int = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -331,8 +325,17 @@ def minhash_lsh_candidates(
     caches the banded table so the self-join does not recompute the
     upstream signature stage twice; pass False when sig_df is already
     cached (the banding projection itself is cheap JVM work).
+
+    Pass ``expected_perm`` (the signature length) when known: a banding
+    config whose bands*rows_per_band exceeds it would silently slice
+    EMPTY arrays for the tail bands — every doc then shares the same
+    empty-slice bucket and the candidate join goes quadratic.
     """
-    assert_cols = bands * rows_per_band
+    if expected_perm is not None and bands * rows_per_band != expected_perm:
+        raise ValueError(
+            f"bands({bands}) * rows_per_band({rows_per_band}) != "
+            f"signature length {expected_perm}"
+        )
     banded = sig_df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -398,8 +401,11 @@ def minhash_dedup_pairs(
     sh = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         sig_fn, f"{id_col} long, shingle_hashes array<long>, sig array<long>"
     ).persist()
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm({num_perm}) must be divisible by bands({bands})")
     cands = minhash_lsh_candidates(
-        sh.select(id_col, "sig"), id_col, bands, num_perm // bands, persist=False
+        sh.select(id_col, "sig"), id_col, bands, num_perm // bands,
+        persist=False, expected_perm=num_perm,
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
@@ -428,6 +434,7 @@ def simhash64(
 
     def fn(it):
         bit_idx = np.arange(64, dtype=np.uint64)
+        cache = {}
         for pdf in it:
             out = np.empty(len(pdf), dtype=np.int64)
             texts = pdf[text_col].fillna("")
@@ -436,7 +443,14 @@ def simhash64(
                 if not words:
                     out[i] = 0
                     continue
-                hs = np.array([_shingle_hash64(w) for w in words], dtype=np.uint64)
+                hs = np.empty(len(words), dtype=np.uint64)
+                for j, w in enumerate(words):
+                    h = cache.get(w)
+                    if h is None:
+                        h = _blake2b64(w)
+                        if len(cache) < 1_000_000:
+                            cache[w] = h
+                    hs[j] = h
                 bits = ((hs.reshape(-1, 1) >> bit_idx) & np.uint64(1)).astype(np.int64)
                 # signed arithmetic: uint64 would wrap for minority-vote bits
                 votes = bits.sum(axis=0) * 2 - len(words)

@@ -99,13 +99,19 @@ def with_lsh_bucket(
     """Sign-bit LSH bucket id (int) from random hyperplanes — vectorized
     numpy GEMM over Arrow batches."""
     if dim is None:
-        first = df.select(F.size(vec_col)).first()
+        first = df.select(F.size(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+        if first is None or first[0] is None or first[0] <= 0:
+            raise ValueError(
+                "cannot infer embedding dim (empty input or NULL vectors); "
+                "pass dim= explicitly"
+            )
         dim = first[0]
     planes = _hyperplanes(dim, n_planes, seed)
-    other = [c for c in df.columns]
 
     def fn(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
             bits = (mat @ planes.T) > 0
             bucket = np.zeros(len(pdf), dtype=np.int64)
@@ -131,15 +137,17 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, ranked by cosine."""
+    first = corpus.select(F.size(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+    dim = first[0] if first is not None else None
     cb = with_lsh_bucket(
-        corpus.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed
+        corpus.select(id_col, vec_col), vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
     )
     qb = with_lsh_bucket(
-        queries.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed
+        queries.select(id_col, vec_col), vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -191,7 +199,6 @@ def ivf_assign(
     `cell` so probes read only nprobe cells (partition pruning)."""
     cb = np.asarray(centroids, dtype=np.float64)
     c_norm2 = (cb ** 2).sum(axis=1)
-    other = list(df.columns)
 
     def fn(it):
         for pdf in it:
@@ -265,7 +272,8 @@ def ivf_topk(
                 if not len(cand):
                     continue
                 col = sims[:, qi]
-                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                order = np.lexsort((ids[cand], -col[cand]))  # ties by id asc
+                top = cand[order[:k]]
                 rows.extend((qid, int(ids[t]), float(col[t])) for t in top)
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
@@ -369,7 +377,11 @@ def matmul_topk(
                 cand_idx = np.where(mask)[0]
                 if not len(cand_idx):
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                # exact-tie order = (cosine desc, neighbor_id asc) so the
+                # partial top-k keeps the same rows the global window
+                # would (partition row order must not decide ties)
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:k]]
                 for t in top:
                     rows.append((int(qids[qi]), int(ids[t]), float(col[t])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 # BPE-ish token pattern: latin runs | digit runs | single CJK char |
 # any other non-space char. Identical in Java regex and RE2.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[一-龥]|[^A-Za-z0-9一-龥 \t\n\r]"
-WS_TOKEN_SPLIT = r"[ \t\n\r]+"
+from ..textops import WORD_SPLIT_PATTERN as WS_TOKEN_SPLIT  # single frozen splitter
 
 FP_MOD = 2147483647  # 2^31 - 1; keeps (h*31 + c) in int64 range
 FP_MULT = 31

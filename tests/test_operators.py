@@ -281,3 +281,27 @@ def test_ivf_assign_deterministic(spark):
     b = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
     assert a == b
     assert set(a.values()) <= set(range(5))
+
+
+def test_exact_dedup_null_text_not_collapsed(spark):
+    from pycorrector_spark.operators.dedup import exact_dedup_groups, exact_dedup_keep
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(df).collect()
+    assert len(groups) == 1  # only the non-null duplicate group
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep(df).collect())
+    # doc 2 is a real duplicate of 1; both NULL-text rows survive untouched
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_banding_config_validated(spark):
+    import pytest
+
+    from pycorrector_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(docs, num_perm=64, bands=10).count()
