@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..textops import WORD_SPLIT_PATTERN as TOKEN_SPLIT  # single frozen splitter
+from ..textops import blake2b64 as _blake2b64
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
@@ -100,9 +101,6 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
         ),
     ).otherwise(F.array())
     return df.select(F.col(id_col), shingles.alias("shingles"))
-
-
-from ..textops import blake2b64 as _blake2b64
 
 
 def _shingle_pos_mult(k: int) -> np.ndarray:
