@@ -39,6 +39,8 @@ stages call, so oracle and pipeline agree bitwise.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from ..textops import (
@@ -406,7 +408,23 @@ class EnSpellCorrector:
             self._cache[word] = best
         return best
 
+    _ALPHA_RUN_RE = re.compile(r"[A-Za-z]+")
+
     def correct(self, sentence: str, include_symbol: bool = True):
+        # Fast path: if no maximal alpha run would be changed, the output
+        # is the input — skip the split/splice entirely. Exact: every
+        # correctable fragment of the slow loop is a pure-alpha run and
+        # therefore one of these findall matches (mixed alnum fragments
+        # can only over-trigger the fallback, never skip a correction).
+        # With the memoized correct_word this is a few dict hits per
+        # unique word, and clean documents dominate web corpora.
+        need = False
+        for w in dict.fromkeys(self._ALPHA_RUN_RE.findall(sentence)):
+            if len(w) > 1 and (w in self.confusion or self.correct_word(w) != w):
+                need = True
+                break
+        if not need:
+            return {"source": sentence, "target": sentence, "errors": []}
         text_new = ""
         details = []
         for w, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):
