@@ -510,8 +510,11 @@ _CONFUSION_SENTS = [
 def q_confusion(spark, sf_dir):
     """Forced confusion replace (C4 — ConfusionCorrector: every variant
     match spliced in place). Target text is oracle-checked against chained
-    replace() over the same dict (exact for non-overlapping variants, which
-    holds for this dict); the errors triples are asserted in tests."""
+    replace() over the same dict — exact when no variant OCCURRENCE in the
+    input overlaps another (the dict itself has overlapping keys, e.g.
+    名称权 / 权利的游戏 share 权, so the fixture sentences are chosen to
+    avoid co-occurrence; tests/test_zhconv_cli.py guards that invariant).
+    The errors triples are asserted in tests."""
     import pandas as pd
     from pycorrector_spark.dicts import CONFUSION_DICT
     from pycorrector_spark.refimpl.core import ConfusionCorrector
@@ -683,7 +686,7 @@ def _uniform_oracle_sql() -> str:
     fw_sql = fw.replace("'", "''")
     hw_sql = hw.replace("'", "''")
     return (
-        f"SELECT doc_id, lower(translate(text, '{fw_sql}', '{hw_sql}')) AS norm_text"
+        f"SELECT doc_id, lower(translate(coalesce(text, ''), '{fw_sql}', '{hw_sql}')) AS norm_text"
         " FROM documents"
     )
 
@@ -696,7 +699,7 @@ def _t2s_oracle_sql() -> str:
     src = "".join(T2S_CHARS)
     dst = "".join(T2S_CHARS.values())
     return (
-        f"SELECT doc_id, translate(text, '{src}', '{dst}') AS simp_text FROM documents"
+        f"SELECT doc_id, translate(coalesce(text, ''), '{src}', '{dst}') AS simp_text FROM documents"
     )
 
 

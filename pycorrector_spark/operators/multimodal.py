@@ -20,8 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_SCHEMA_DDL = (
-    "media_id long, mime string, width int, height int, payload binary"
+MEDIA_SCHEMA_DDL = (  # matches make_media_table output (pandas ints -> bigint)
+    "media_id long, mime string, width long, height long, payload binary"
 )
 
 FEATURE_DIM = 16
@@ -126,10 +126,16 @@ def resize_image(
     return df.mapInPandas(fn, ddl)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_stub(df: DataFrame, every_n: int = 10, max_samples: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_index) plan rows
-    without decoding — the real sampler slots into the same shape."""
+    for every ``every_n``-th frame (0, every_n, 2*every_n, ...), capped at
+    ``max_samples`` — the real sampler (which knows the true frame count
+    from the decoded container) slots into the same shape."""
     return df.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_index"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.lit((max_samples - 1) * every_n), F.lit(every_n)
+            )
+        ).alias("frame_index"),
     )

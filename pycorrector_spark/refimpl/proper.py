@@ -119,8 +119,11 @@ class ProperCorrector:
                 ).add(name)
                 self.index_stroke.setdefault((ln, pos, stroke_of(ch)), set()).add(name)
         # memo caches (proper_corrector.py:77-78, 88-101) — plain dicts,
-        # rebuilt per executor after broadcast unpickle
+        # rebuilt per executor after broadcast unpickle; bounded so a
+        # unique-n-gram stream cannot grow worker memory without limit
+        # (same guard as EnSpellCorrector._CACHE_MAX)
         self._sim_cache = {}
+        self._sim_cache_max = 200_000
 
     # -- recall (proper_corrector.py:240-266) --
 
@@ -162,7 +165,8 @@ class ProperCorrector:
             "".join(fuzzy_pinyin(pinyin_of(c)) for c in b),
         )
         sim = max(stroke, pinyin)
-        self._sim_cache[key] = sim
+        if len(self._sim_cache) < self._sim_cache_max:
+            self._sim_cache[key] = sim
         return sim
 
     # -- correction (proper_corrector.py:268-348) --
@@ -171,13 +175,9 @@ class ProperCorrector:
         """Return {'source','target','errors': [(wrong, right, begin), ...]}."""
         cand_spans = []
         n = len(sentence)
-        seen = set()
         for ln in range(self.min_word_len, self.max_word_len + 1):
             for i in range(n - ln + 1):
                 gram = sentence[i: i + ln]
-                if (gram, i) in seen:
-                    continue
-                seen.add((gram, i))
                 if not is_cjk_string(gram):
                     continue
                 if gram in self.names:  # exact hit: already proper

@@ -124,3 +124,34 @@ def test_cli_parquet_resume_mode(spark, tmp_path):
     # zero rows, so it contributed no per-partition audit rows)
     audit = spark.read.parquet(str(out / "audit"))
     assert audit.agg({"n_rows": "sum"}).first()[0] == 2
+
+
+def test_confusion_fixture_sentences_have_no_overlapping_variants():
+    """The chained-replace oracle for zh_confusion is exact only when no
+    two variant occurrences overlap in a fixture sentence — guard it."""
+    from __spark_entry__ import _CONFUSION_SENTS
+    from pycorrector_spark.dicts import CONFUSION_DICT
+
+    for sent in _CONFUSION_SENTS:
+        spans = []
+        for variant in CONFUSION_DICT:
+            start = 0
+            while True:
+                i = sent.find(variant, start)
+                if i < 0:
+                    break
+                spans.append((i, i + len(variant)))
+                start = i + 1
+        spans.sort()
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 <= a2, f"overlapping variants in fixture: {sent}"
+
+
+def test_proper_char_sim_consistent_with_word_similarity():
+    from pycorrector_spark.dicts import PROPER_NAMES
+    from pycorrector_spark.refimpl.proper import ProperCorrector
+
+    pc = ProperCorrector(PROPER_NAMES)
+    for a, b in [("两", "亮"), ("只", "智"), ("马", "鸟"), ("云", "去")]:
+        assert pc.char_sim(a, b) == pc.word_similarity(a, b)
+    assert pc.char_sim("亮", "亮") == 1.0

@@ -54,6 +54,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
