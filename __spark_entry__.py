@@ -163,6 +163,44 @@ def q_sent_split(spark, sf_dir):
     )
 
 
+def q_sent_split_len(spark, sf_dir):
+    """Fixed-width chunking with offsets (T2, tokenizer.py:45-55) as pure
+    JVM expressions: sequence + transform + posexplode."""
+    L = 64
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(ceil(char_length(text) / {L}), 1)),"
+        f" i -> struct(cast((i - 1) * {L} as bigint) as offset,"
+        f"             substring(text, cast((i - 1) * {L} + 1 as int), {L}) as chunk))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.offset").alias("offset"), F.col("c.chunk").alias("chunk"))
+    )
+
+
+def q_b2q(spark, sf_dir):
+    """Halfwidth -> fullwidth folding (P4 B2Q — inverse of the uniform
+    normalizer's Q2B), vectorized str.translate."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import string_b2q
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wide_text": [string_b2q(t) for t in pdf["text"].fillna("")],
+                }
+            )
+
+    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, wide_text string"
+    )
+
+
 def q_uniform(spark, sf_dir):
     """Q2B width folding + lowercase (P4/P5 — the detect-path normalizer),
     vectorized str.translate over Arrow batches."""
@@ -630,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_scrub": q_scrub,
         "qf_sent_split": q_sent_split,
         "qf_uniform": q_uniform,
+        "qf_split_len": q_sent_split_len,
+        "qf_b2q": q_b2q,
         "ngram_counts": q_ngram_counts,
         "zh_segment": q_zh_segment,
         "qf_lm_ppl": q_lm_ppl,
@@ -675,6 +715,19 @@ def _confusion_oracle_sql() -> str:
     return (
         f"SELECT sent_id, {expr} AS target"
         f" FROM (VALUES {values}) AS t(sent_id, text)"
+    )
+
+
+def _b2q_oracle_sql() -> str:
+    """translate(halfwidth -> fullwidth), tables generated from the same
+    codepoint ranges as textops._B2Q_TABLE."""
+    hw = " " + "".join(chr(c) for c in range(0x21, 0x7F))
+    fw = chr(0x3000) + "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+    hw_sql = hw.replace("'", "''")
+    fw_sql = fw.replace("'", "''")
+    return (
+        f"SELECT doc_id, translate(coalesce(text, ''), '{hw_sql}', '{fw_sql}') AS wide_text"
+        " FROM documents"
     )
 
 
@@ -806,6 +859,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zh_confusion": _confusion_oracle_sql(),
         "qf_uniform": _uniform_oracle_sql(),
+        "qf_b2q": _b2q_oracle_sql(),
+        "qf_split_len": """
+            SELECT doc_id,
+                   (i - 1) * 64 AS offset,
+                   substr(text, (i - 1) * 64 + 1, 64) AS chunk
+            FROM documents,
+                 unnest(range(1, greatest(cast(ceil(length(text) / 64.0) as bigint), 1) + 1)) AS t(i)
+            WHERE length(text) > 0
+        """,
         "ngram_counts": """
             SELECT gram, count(*) AS n FROM (
               SELECT unnest([substr(text, i, 2) for i in range(1, length(text))]) AS gram
