@@ -11,6 +11,8 @@ oracle_sql()   — DuckDB-equivalent SQL per query where SQL-expressible;
 
 from __future__ import annotations
 
+import functools
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +49,43 @@ def _docs_as_webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pool_docs(spark: SparkSession, sf_dir: str, pool) -> DataFrame:
+    """doc_ids from {sf_dir} mapped onto a fixed sentence pool.
+
+    Input scales with the table (every doc_id produces a row) while the
+    text domain stays finite, so per-document expected outputs of
+    non-SQL-expressible operators (detect/correct/segment/minhash/ppl) can
+    be precomputed per pool index and joined in the DuckDB oracle on
+    ``doc_id % len(pool)``. See fixtures.py pool section."""
+    arr = F.array(*[F.lit(s) for s in pool])
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn(
+            "text",
+            F.element_at(arr, (F.col("doc_id") % len(pool)).cast("int") + 1),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _artifacts_cached():
+    """One deterministic Artifacts bundle per process — shared by query
+    broadcasts and driver-side oracle precompute (identical by construction)."""
+    from pycorrector_spark.operators.score import build_artifacts
+
+    return build_artifacts()
+
+
+@functools.lru_cache(maxsize=None)
+def _full_artifacts_cached():
+    """Reference-scale Artifacts (dictio loaders: real same_pinyin/stroke
+    tables, 30k-word English dict, 58k proper names + 12k stroke codes)."""
+    from pycorrector_spark.operators.score import build_full_artifacts
+
+    return build_full_artifacts()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: langid + heuristics + LM ppl + detect/correct + scrub +
     keep/drop over the sf0.001 documents table."""
@@ -58,6 +97,14 @@ def entry(spark: SparkSession) -> DataFrame:
         "url", "lang_id", "n_chars", "symbol_ratio", "rep_ratio", "ppl",
         "n_errors", "keep", "drop_reason", "scrubbed_text",
     )
+
+
+# frozen query parameters shared by Spark queries and their oracles
+JACCARD_MAX_DF = 100      # shingle document-frequency cap (dedup_jaccard)
+LSH_TOPK_PLANES = 6       # ann_lsh_topk hyperplanes
+EMB_LSH_PLANES = 16       # dedup_embedding banded LSH: total sign bits
+EMB_LSH_BANDS = 4         # ... split into this many bands
+EMB_DIM = 64              # embeddings.parquet vector width
 
 
 # ---------------------------------------------------------------------------
@@ -236,34 +283,35 @@ def q_ngram_counts(spark, sf_dir):
 
 
 def q_zh_segment(spark, sf_dir):
-    """Forward-maximum-match word segmentation (T4/T5 stand-in for jieba,
-    divergence #2): broadcast word-dict tokens with spans. Rows-only;
-    carries its own CJK fixture sentences (docs corpus has no CJK)."""
+    """Word segmentation with spans (T4/T5 jieba stand-in, divergence #2)
+    over the sf-scaled CJK pool; tokens emitted as a pipe-joined scalar so
+    the checker canonicalizer can hash them. Oracle: per-pool-index
+    expected encodings from the same pure tokenizer, joined on doc_id %
+    pool size."""
     import pandas as pd
-    from pycorrector_spark.fixtures import CLEAN_ZH
-    from pycorrector_spark.operators.score import build_artifacts
+    from pycorrector_spark.fixtures import ZH_POOL
 
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(CLEAN_ZH)], "sent_id long, text string"
-    ).repartition(4)
-    bc = spark.sparkContext.broadcast(build_artifacts())
+    df = _pool_docs(spark, sf_dir, ZH_POOL)
+    bc = spark.sparkContext.broadcast(set(_artifacts_cached().word_freq))
 
     def fn(it):
+        from pycorrector_spark.fixtures import fmt_tokens
         from pycorrector_spark.textops import max_match_tokens
 
-        words = set(bc.value.word_freq)
+        words = bc.value
         for pdf in it:
-            rows = []
-            for i, t in zip(pdf["sent_id"], pdf["text"]):
-                toks = [
-                    (tok, int(b), int(e)) for tok, b, e in max_match_tokens(t, words)
-                ]
-                rows.append((int(i), toks))
-            yield pd.DataFrame(rows, columns=["sent_id", "tokens"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": [
+                        fmt_tokens(max_match_tokens(t, words)) for t in pdf["text"]
+                    ],
+                }
+            )
 
-    return df.mapInPandas(
-        fn, "sent_id long, tokens array<struct<token:string,begin:int,end:int>>"
-    )
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, "doc_id long, tokens string")
 
 
 def q_token_counts(spark, sf_dir):
@@ -291,15 +339,32 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Exact Jaccard pairs with the hot-shingle document-frequency cap
+    (max_df) engaged — the scale-safe default; the oracle applies the same
+    cap over string shingles."""
     from pycorrector_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=2, threshold=0.2, max_df=JACCARD_MAX_DF
+    )
 
 
 def q_dedup_minhash(spark, sf_dir):
-    from pycorrector_spark.operators.dedup import minhash_dedup_pairs
+    """MinHash signatures (the core fixed-seed machinery) over the
+    sf-scaled shingle pool, emitted as a comma-joined scalar. Oracle: the
+    same vectorized numpy pipeline run driver-side per pool index (int64
+    exact). Docs with < k words have no signature and are dropped — the
+    oracle's inner join mirrors the drop. The banded LSH candidate join +
+    exact-Jaccard verify built on these signatures (minhash_dedup_pairs)
+    is exercised in tests/test_operators.py and bench.py over the real
+    corpus (its band keys use Spark's xxhash64, which no SQL oracle can
+    recompute)."""
+    from pycorrector_spark.fixtures import MINHASH_POOL
+    from pycorrector_spark.operators.dedup import minhash_signatures
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), k=2, num_perm=64, bands=16, threshold=0.2)
+    d = _pool_docs(spark, sf_dir, MINHASH_POOL)
+    sig = minhash_signatures(d, id_col="doc_id", text_col="text", k=2, num_perm=64)
+    return sig.select("doc_id", F.array_join("sig", ",").alias("sig"))
 
 
 def q_simhash(spark, sf_dir):
@@ -325,48 +390,69 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed top-k. SQL-verified end-to-end: dyadic
+    hyperplanes + left-fold dots make the bucket bits and cosines
+    bit-identical to the DuckDB list_reduce oracle."""
     from pycorrector_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, k=5, n_planes=6)
+    res = lsh_topk(emb, queries, k=5, n_planes=LSH_TOPK_PLANES)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN (rows-only): driver-trained coarse quantizer on a
-    sample, cell assignment via GEMM, queries probe nprobe cells."""
+    """IVF-flat ANN with a REAL stored index (rows-only): driver-trained
+    coarse quantizer on a deterministic sample, corpus written partitioned
+    by cell, probe reads ONLY the nprobe cell directories (partition
+    pruning — the scan never touches the full corpus)."""
+    import os
+    import tempfile
+
     import numpy as np
-    from pycorrector_spark.operators.similarity import ivf_topk, kmeans_centroids
+    from pycorrector_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        kmeans_centroids,
+    )
 
     emb = _emb(spark, sf_dir)
-    # centroid training sample may be arbitrary rows; the query set must
-    # be selected explicitly (limit() has no ordering guarantee)
-    sample = emb.select("vec_id", "embedding").limit(2000).toPandas()
+    # deterministic training sample (limit() has no ordering guarantee)
+    sample = emb.filter(F.col("vec_id") < 2000).select("vec_id", "embedding").toPandas()
     vecs = np.stack(sample["embedding"].apply(np.asarray).values)
     cents = kmeans_centroids(vecs, k=8)
+    path = os.path.join(tempfile.gettempdir(), "pycorrector_spark_ivf",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    ivf_build(emb, cents, path)
     queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
-    return ivf_topk(emb, queries_pdf, cents, k=5, nprobe=3)
+    return ivf_probe(spark, path, queries_pdf, cents, k=5, nprobe=3)
 
 
 def q_lm_ppl(spark, sf_dir):
-    """LM perplexity per document (rows-only: n-gram backoff LM is not
-    SQL-expressible; differential-tested vs the serial oracle in tests/)."""
-    from pycorrector_spark.operators.score import build_artifacts
+    """LM perplexity (D4 machinery) over the sf-scaled mixed zh/en pool.
 
+    The backoff LM is not SQL-expressible, but it IS deterministic: the
+    oracle joins doc_id % pool onto per-sentence perplexities precomputed
+    by the same vectorized scorer (exact frexp-encoded double literals, so
+    the floats are bit-identical — ppl_batch's per-row reduceat makes the
+    value independent of batch composition)."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import PPL_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
 
-    bc = spark.sparkContext.broadcast(build_artifacts())
-    import pandas as pd
+    bc = spark.sparkContext.broadcast(_artifacts_cached().lm)
 
     def fn(it):
-        art = bc.value
         from pycorrector_spark.textops import uniform
 
+        lm = bc.value
         for pdf in it:
-            ppl = art.lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
+            ppl = lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppl": ppl})
 
-    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+    return ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL)).mapInPandas(
         fn, "doc_id long, ppl double"
     )
 
@@ -383,11 +469,19 @@ def q_pipeline_full(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
-    candidate path shares the minhash verify shape)."""
-    from pycorrector_spark.operators.similarity import cosine_near_dup_pairs
+    """Embedding near-dup pairs via the scale-default path: banded
+    sign-LSH candidates + exact JVM-fold cosine verify — NO driver-side
+    collect anywhere in the plan (the exact GEMM baseline stays available
+    behind cosine_near_dup's size guard). The oracle reproduces the same
+    bands, candidates and cosines bit-for-bit."""
+    from pycorrector_spark.operators.similarity import cosine_near_dup_pairs_bucketed
 
-    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return cosine_near_dup_pairs_bucketed(
+        _emb(spark, sf_dir),
+        threshold=0.4,
+        n_planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
+    )
 
 
 def q_zh_t2s(spark, sf_dir):
@@ -413,14 +507,16 @@ def q_homophones(spark, sf_dir):
     pinyin dimension by reading, attach each char's homophone set. The
     reference scans the whole CJK plane per call (text_utils.py:111-137);
     here it is one agg + broadcast join over the dimension (the synthetic
-    docs corpus has no CJK chars, so the dim itself is the input)."""
+    docs corpus has no CJK chars, so the dim itself is the input). The
+    set is emitted comma-joined (single CJK chars, no separator risk) so
+    the checker can canonicalize it."""
     from pycorrector_spark.dicts import PINYIN_ZH
 
     pinyin = spark.createDataFrame(
         [(k, v) for k, v in PINYIN_ZH.items()], "ch string, py string"
     )
     groups = pinyin.groupBy("py").agg(
-        F.sort_array(F.collect_set("ch")).alias("homophones")
+        F.array_join(F.sort_array(F.collect_set("ch")), ",").alias("homophones")
     )
     return pinyin.join(F.broadcast(groups), "py").select("ch", "py", "homophones")
 
@@ -439,13 +535,14 @@ def q_langid_agreement(spark, sf_dir):
 
 def q_en_spell(spark, sf_dir):
     """English spell correction (C8, Norvig semantics backed by the
-    SymSpell deletes index; rows-only — differential-tested vs the serial
-    oracle in tests)."""
+    SymSpell deletes index) over the sf-scaled English typo pool; oracle =
+    per-pool-index corrections precomputed by the identical corrector."""
     import pandas as pd
+    from pycorrector_spark.fixtures import EN_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
-    from pycorrector_spark.operators.score import _get_workers, build_artifacts
+    from pycorrector_spark.operators.score import _get_workers
 
-    bc = spark.sparkContext.broadcast(build_artifacts())
+    bc = spark.sparkContext.broadcast(_artifacts_cached())
 
     def fn(it):
         _, _, en = _get_workers(bc)
@@ -459,119 +556,100 @@ def q_en_spell(spark, sf_dir):
                 }
             )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang").filter(F.col("lang") == "en")
-    return ensure_parallelism(d.drop("lang")).mapInPandas(
+    return ensure_parallelism(_pool_docs(spark, sf_dir, EN_POOL)).mapInPandas(
         fn, "doc_id long, corrected_text string, n_fixes int"
     )
 
 
 def q_detect(spark, sf_dir):
     """Detection-only path (D8 — reference Detector.detect: uniform +
-    split + confusion/OOV/char-LM scan; rows-only, LM-dependent)."""
+    split + confusion/OOV/char-LM scan) over the sf-scaled CJK pool.
+    Detections emitted as a pipe-joined scalar; oracle = per-pool-index
+    expected detections from the identical deterministic Detector."""
     import pandas as pd
+    from pycorrector_spark.fixtures import ZH_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
-    from pycorrector_spark.operators.score import _get_workers, build_artifacts
+    from pycorrector_spark.operators.score import _get_workers
 
-    bc = spark.sparkContext.broadcast(build_artifacts())
+    bc = spark.sparkContext.broadcast(_artifacts_cached())
 
     def fn(it):
+        from pycorrector_spark.fixtures import fmt_detections
+
         _, zh, _ = _get_workers(bc)
         for pdf in it:
-            rows = []
-            for i, t in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                dets = zh.detect(t)
-                rows.append(
-                    (
-                        int(i),
-                        [(w, int(b), int(e), ty) for (w, b, e, ty) in dets],
-                    )
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "errors"])
+            dets = [zh.detect(t) for t in pdf["text"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "errors": [fmt_detections(d) for d in dets],
+                    "n_errors": pd.Series([len(d) for d in dets], dtype="int32"),
+                }
+            )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang").filter(F.col("lang") == "zh")
-    return ensure_parallelism(d.drop("lang")).mapInPandas(
-        fn,
-        "doc_id long, errors array<struct<word:string,begin:int,end:int,type:string>>",
+    return ensure_parallelism(_pool_docs(spark, sf_dir, ZH_POOL)).mapInPandas(
+        fn, "doc_id long, errors string, n_errors int"
     )
 
 
 def q_proper(spark, sf_dir):
     """Proper-noun correction (C5-C7: positional inverted-index recall +
-    stroke/pinyin similarity). Rows-only; the synthetic docs corpus has no
-    CJK, so the query carries its own deterministic sentence fixture (the
-    media_features pattern)."""
+    stroke/pinyin similarity) over the sf-scaled CJK pool (which embeds
+    the proper-noun error sentences); corrections pipe-joined scalar."""
     import pandas as pd
     from pycorrector_spark.dicts import PROPER_NAMES
+    from pycorrector_spark.fixtures import ZH_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
     from pycorrector_spark.refimpl.proper import ProperCorrector
 
-    sents = [
-        "三个臭皮匠顶个诸葛两",
-        "我们去北京看比赛",
-        "他在上每工作了三年",
-        "人工只能改变世界",
-        "这是一段没有专名的话",
-    ]
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(sents)], "sent_id long, text string"
-    ).repartition(4)
+    df = _pool_docs(spark, sf_dir, ZH_POOL)
     bc = spark.sparkContext.broadcast(ProperCorrector(PROPER_NAMES))
 
     def fn(it):
+        from pycorrector_spark.fixtures import fmt_corrections
+
         pc = bc.value
         for pdf in it:
-            rows = []
-            for i, t in zip(pdf["sent_id"], pdf["text"]):
-                res = pc.correct(t)
-                rows.append(
-                    (int(i), res["target"],
-                     [(w, r, int(p)) for (w, r, p) in res["errors"]])
-                )
-            yield pd.DataFrame(rows, columns=["sent_id", "target", "errors"])
+            res = [pc.correct(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "target": [r["target"] for r in res],
+                    "errors": [fmt_corrections(r["errors"]) for r in res],
+                }
+            )
 
-    return df.mapInPandas(
-        fn,
-        "sent_id long, target string, "
-        "errors array<struct<wrong:string,right:string,begin:int>>",
+    return ensure_parallelism(df).mapInPandas(
+        fn, "doc_id long, target string, errors string"
     )
-
-
-# fixture sentences shared by q_confusion and its generated oracle
-_CONFUSION_SENTS = [
-    "我们因该去上课",
-    "他兴高彩列地回家",
-    "化学成份分析报告",
-    "这句话没有问题",
-    "人工只能和机七学习",
-]
 
 
 def q_confusion(spark, sf_dir):
     """Forced confusion replace (C4 — ConfusionCorrector: every variant
-    match spliced in place). Target text is oracle-checked against chained
-    replace() over the same dict — exact when no variant OCCURRENCE in the
-    input overlaps another (the dict itself has overlapping keys, e.g.
-    名称权 / 权利的游戏 share 权, so the fixture sentences are chosen to
-    avoid co-occurrence; tests/test_zhconv_cli.py guards that invariant).
-    The errors triples are asserted in tests."""
+    match spliced via one multi-pattern scan) over the sf-scaled CJK pool.
+    Oracle = per-pool-index targets precomputed by the identical serial
+    corrector (replaces round 1's chained-replace() oracle, which was only
+    valid while fixture sentences avoided overlapping variant occurrences)."""
     import pandas as pd
     from pycorrector_spark.dicts import CONFUSION_DICT
+    from pycorrector_spark.fixtures import ZH_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
     from pycorrector_spark.refimpl.core import ConfusionCorrector
 
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_CONFUSION_SENTS)], "sent_id long, text string"
-    ).repartition(4)
+    df = _pool_docs(spark, sf_dir, ZH_POOL)
     bc = spark.sparkContext.broadcast(ConfusionCorrector(dict(CONFUSION_DICT)))
 
     def fn(it):
         cc = bc.value
         for pdf in it:
-            rows = [
-                (int(i), cc.correct(t)["target"])
-                for i, t in zip(pdf["sent_id"], pdf["text"])
-            ]
-            yield pd.DataFrame(rows, columns=["sent_id", "target"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "target": [cc.correct(t)["target"] for t in pdf["text"]],
+                }
+            )
 
-    return df.mapInPandas(fn, "sent_id long, target string")
+    return ensure_parallelism(df).mapInPandas(fn, "doc_id long, target string")
 
 
 def q_eval_f1(spark, sf_dir):
@@ -586,14 +664,92 @@ def q_eval_f1(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> feature vector (stubbed
-    deterministic decode; rows-only)."""
+    """Multimodal plumbing: binary payload -> feature vector through the
+    real Arrow-batched decode stage (deterministic-fake codec, disclosed
+    stub). Features emitted as comma-joined repr strings so the checker
+    can hash them; oracle = the same python-formatted strings precomputed
+    from the same deterministic payloads."""
+    import pandas as pd
     from pycorrector_spark.operators.multimodal import (
-        extract_image_features,
+        decode_image_batch,
         make_media_table,
     )
 
-    return extract_image_features(make_media_table(spark, 64))
+    def fn(it):
+        for pdf in it:
+            feats = decode_image_batch(pdf["payload"], deterministic_fake=True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "features": [",".join(repr(float(x)) for x in f) for f in feats],
+                }
+            )
+
+    return make_media_table(spark, 64).mapInPandas(
+        fn, "media_id long, mime string, features string"
+    )
+
+
+def q_zh_correct_full(spark, sf_dir):
+    """Full correction path (C1-C7) against REFERENCE-SCALE dimensions
+    (S3-S8 file-format loaders): char confusion sets from the real
+    same_pinyin + same_stroke tables, proper-noun stage over ~58k
+    person/place/proper names with the 12k-char stroke dict — over the
+    sf-scaled CJK pool. Oracle: per-pool-index (target, corrections)
+    precomputed by the identical full-dim corrector."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import ZH_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.operators.score import _get_workers
+
+    bc = spark.sparkContext.broadcast(_full_artifacts_cached())
+
+    def fn(it):
+        from pycorrector_spark.fixtures import fmt_corrections
+
+        _, zh, _ = _get_workers(bc)
+        for pdf in it:
+            res = [zh.correct(t) for t in pdf["text"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "target": [r["target"] for r in res],
+                    "corrections": [fmt_corrections(r["errors"]) for r in res],
+                }
+            )
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, ZH_POOL)).mapInPandas(
+        fn, "doc_id long, target string, corrections string"
+    )
+
+
+def q_en_spell_full(spark, sf_dir):
+    """English spell correction against the real 30k-word en.json.gz dict
+    (S9 gzip-JSON loader, freq>400 filter) + SymSpell deletes index, over
+    the sf-scaled English typo pool."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import EN_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.operators.score import _get_workers
+
+    bc = spark.sparkContext.broadcast(_full_artifacts_cached())
+
+    def fn(it):
+        _, _, en = _get_workers(bc)
+        for pdf in it:
+            res = [en.correct(t) for t in pdf["text"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "corrected_text": [r["target"] for r in res],
+                    "n_fixes": [len(r["errors"]) for r in res],
+                }
+            )
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, EN_POOL)).mapInPandas(
+        fn, "doc_id long, corrected_text string, n_fixes int"
+    )
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -687,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en_spell": q_en_spell,
         "qf_detect": q_detect,
         "zh_proper": q_proper,
+        "zh_correct_full": q_zh_correct_full,
+        "en_spell_full": q_en_spell_full,
         "zh_confusion": q_confusion,
         "eval_f1": q_eval_f1,
         "ann_cosine_topk": q_ann_cosine,
@@ -701,21 +859,325 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _confusion_oracle_sql() -> str:
-    """Chained replace() over the confusion dict, applied to the inline
-    fixture sentences — generated from the same dict + sentence list."""
-    from pycorrector_spark.dicts import CONFUSION_DICT
+# ---------------------------------------------------------------------------
+# oracle literal encoding + pool-join scaffolding
+# ---------------------------------------------------------------------------
 
-    expr = "text"
-    for variant, truth in CONFUSION_DICT.items():
-        expr = f"replace({expr}, '{variant}', '{truth}')"
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _dlit(v: float) -> str:
+    """EXACT double literal: mantissa * power(2, exp) via frexp. DuckDB's
+    decimal-literal parser can be one ulp off a correctly-rounded strtod,
+    which would break bit-exact value-hash compares; this encoding is
+    integer-only and reconstructs the identical IEEE-754 double."""
+    v = float(v)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {v}")
+    if v == 0.0:
+        return "0.0"
+    m, e = math.frexp(v)
+    return f"({int(m * (1 << 53))}*power(2.0,{e - 53}))"
+
+
+def _vlit(v) -> str:
+    import numpy as np
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return _dlit(float(v))
+    return _sq(v)
+
+
+def _pool_oracle_sql(pool_len: int, cols: list, rows: list) -> str:
+    """JOIN documents.doc_id % pool_len onto precomputed per-pool-index
+    expected values. ``rows`` = [(pool_idx, (v1, v2, ...)), ...]; pool
+    indices absent from rows (e.g. docs the operator drops) fall out of
+    the inner join — mirroring the Spark side's row drops."""
     values = ", ".join(
-        f"({i}, '{s}')" for i, s in enumerate(_CONFUSION_SENTS)
+        "(" + ", ".join([str(int(i))] + [_vlit(v) for v in vals]) + ")"
+        for i, vals in rows
     )
+    select_cols = ", ".join(f"p.{c}" for c in cols)
     return (
-        f"SELECT sent_id, {expr} AS target"
-        f" FROM (VALUES {values}) AS t(sent_id, text)"
+        f"SELECT d.doc_id, {select_cols} FROM documents d "
+        f"JOIN (VALUES {values}) p(pool_idx, {', '.join(cols)}) "
+        f"ON d.doc_id % {pool_len} = p.pool_idx"
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _workers_cached():
+    from pycorrector_spark.operators.score import make_workers
+
+    return make_workers(_artifacts_cached())
+
+
+# ---------------------------------------------------------------------------
+# generated oracles (each runs the identical deterministic serial
+# implementation driver-side and freezes the expected outputs into VALUES)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_segment_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_tokens
+    from pycorrector_spark.textops import max_match_tokens
+
+    words = set(_artifacts_cached().word_freq)
+    rows = [
+        (i, (fmt_tokens(max_match_tokens(s, words)),)) for i, s in enumerate(ZH_POOL)
+    ]
+    return _pool_oracle_sql(len(ZH_POOL), ["tokens"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _qf_detect_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_detections
+
+    zh, _ = _workers_cached()
+    rows = []
+    for i, s in enumerate(ZH_POOL):
+        dets = zh.detect(s)
+        rows.append((i, (fmt_detections(dets), len(dets))))
+    return _pool_oracle_sql(len(ZH_POOL), ["errors", "n_errors"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_proper_oracle_sql() -> str:
+    from pycorrector_spark.dicts import PROPER_NAMES
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_corrections
+    from pycorrector_spark.refimpl.proper import ProperCorrector
+
+    pc = ProperCorrector(PROPER_NAMES)
+    rows = []
+    for i, s in enumerate(ZH_POOL):
+        res = pc.correct(s)
+        rows.append((i, (res["target"], fmt_corrections(res["errors"]))))
+    return _pool_oracle_sql(len(ZH_POOL), ["target", "errors"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_confusion_oracle_sql() -> str:
+    from pycorrector_spark.dicts import CONFUSION_DICT
+    from pycorrector_spark.fixtures import ZH_POOL
+    from pycorrector_spark.refimpl.core import ConfusionCorrector
+
+    cc = ConfusionCorrector(dict(CONFUSION_DICT))
+    rows = [(i, (cc.correct(s)["target"],)) for i, s in enumerate(ZH_POOL)]
+    return _pool_oracle_sql(len(ZH_POOL), ["target"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _en_spell_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import EN_POOL
+
+    _, en = _workers_cached()
+    rows = []
+    for i, s in enumerate(EN_POOL):
+        res = en.correct(s)
+        rows.append((i, (res["target"], len(res["errors"]))))
+    return _pool_oracle_sql(len(EN_POOL), ["corrected_text", "n_fixes"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_workers_cached():
+    from pycorrector_spark.operators.score import make_workers
+
+    return make_workers(_full_artifacts_cached())
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_correct_full_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_corrections
+
+    zh, _ = _full_workers_cached()
+    rows = []
+    for i, s in enumerate(ZH_POOL):
+        res = zh.correct(s)
+        rows.append((i, (res["target"], fmt_corrections(res["errors"]))))
+    return _pool_oracle_sql(len(ZH_POOL), ["target", "corrections"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _en_spell_full_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import EN_POOL
+
+    _, en = _full_workers_cached()
+    rows = []
+    for i, s in enumerate(EN_POOL):
+        res = en.correct(s)
+        rows.append((i, (res["target"], len(res["errors"]))))
+    return _pool_oracle_sql(len(EN_POOL), ["corrected_text", "n_fixes"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _qf_lm_ppl_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.textops import uniform
+
+    lm = _artifacts_cached().lm
+    ppl = lm.ppl_batch([uniform(s) for s in PPL_POOL])
+    rows = [(i, (float(p),)) for i, p in enumerate(ppl)]
+    return _pool_oracle_sql(len(PPL_POOL), ["ppl"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _dedup_minhash_oracle_sql() -> str:
+    import numpy as np
+    from pycorrector_spark.fixtures import MINHASH_POOL
+    from pycorrector_spark.operators.dedup import (
+        _minhash_batch,
+        _minhash_params,
+        _shingle_arrays,
+        _shingle_pos_mult,
+    )
+
+    ids, hashes = _shingle_arrays(
+        list(range(len(MINHASH_POOL))), MINHASH_POOL, 2, _shingle_pos_mult(2), {}
+    )
+    a, b = _minhash_params(64, seed=42)
+    sigs = _minhash_batch([h.view(np.uint64) for h in hashes], a, b)
+    rows = [
+        (int(i), (",".join(str(int(x)) for x in sig),)) for i, sig in zip(ids, sigs)
+    ]
+    return _pool_oracle_sql(len(MINHASH_POOL), ["sig"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _media_features_oracle_sql() -> str:
+    from pycorrector_spark.operators.multimodal import _fake_features, media_rows
+
+    values = ", ".join(
+        f"({i}, {_sq(mime)}, "
+        f"{_sq(','.join(repr(float(x)) for x in _fake_features(payload)))})"
+        for i, mime, _w, _h, payload in media_rows(64)
+    )
+    return f"SELECT * FROM (VALUES {values}) t(media_id, mime, features)"
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_f1_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import make_eval_pairs
+
+    zh, _ = _workers_cached()
+    pairs = make_eval_pairs()
+    values = ", ".join(
+        f"({_sq(s)}, {_sq(t)}, {_sq(zh.correct(s)['target'])})"
+        for s, t in zip(pairs["src"], pairs["tgt"])
+    )
+    return f"""
+        WITH c(src, tgt, corrected) AS (VALUES {values}),
+        agg AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN src <> tgt AND corrected = tgt THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN src = tgt AND corrected <> src THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN src <> tgt AND corrected <> tgt THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 sum(CASE WHEN src = tgt AND corrected = src THEN 1 ELSE 0 END)::BIGINT AS tn
+          FROM c),
+        m AS (
+          SELECT *,
+                 CASE WHEN n > 0 THEN (tp + tn) / n ELSE 0.0 END AS acc,
+                 CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
+                 CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall
+          FROM agg)
+        SELECT n, tp, fp, fn, tn, acc, precision, recall,
+               CASE WHEN precision + recall > 0
+                    THEN 2 * precision * recall / (precision + recall)
+                    ELSE 0.0 END AS f1
+        FROM m
+    """
+
+
+# ---- embedding-space oracles: exact left-fold float math in SQL ----------
+
+
+def _fold_dot_sql(a: str, b: str, dim: int) -> str:
+    """Strict left-fold dot product — bit-identical to Spark's aggregate()
+    HOF fold and numpy per-dimension accumulation (_leftfold_dots)."""
+    return (
+        f"list_reduce(list_apply(range(1, {dim + 1}), i -> {a}[i]*{b}[i]),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _plane_lit(plane) -> str:
+    # dyadic plane components (k/1024) round-trip exactly through repr;
+    # parenthesized so the cast binds before any [i] subscript
+    return "([" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[])"
+
+
+def _bucket_bits_sql(vec: str, planes, lo: int, hi: int, dim: int) -> str:
+    """Integer key from sign bits of planes[lo:hi] (bit j = plane lo+j)."""
+    terms = [
+        f"(CASE WHEN {_fold_dot_sql(vec, _plane_lit(planes[p]), dim)} > 0 "
+        f"THEN {1 << (p - lo)} ELSE 0 END)"
+        for p in range(lo, hi)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from pycorrector_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, LSH_TOPK_PLANES, seed=42)
+    bucket = _bucket_bits_sql("ev", planes, 0, LSH_TOPK_PLANES, EMB_DIM)
+    dot = _fold_dot_sql("q.ev", "c.ev", EMB_DIM)
+    nrm = f"sqrt({_fold_dot_sql('{0}.ev', '{0}.ev', EMB_DIM)})"
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                          {bucket} AS bucket
+                   FROM embeddings),
+        q AS (SELECT * FROM c WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / ({nrm.format('q')} * {nrm.format('c')}) AS cos
+          FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    from pycorrector_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, EMB_LSH_PLANES, seed=42)
+    rpb = EMB_LSH_PLANES // EMB_LSH_BANDS
+    band_cols = ", ".join(
+        f"{_bucket_bits_sql('ev', planes, b * rpb, (b + 1) * rpb, EMB_DIM)} AS bb{b}"
+        for b in range(EMB_LSH_BANDS)
+    )
+    band_match = " OR ".join(f"a.bb{b} = b.bb{b}" for b in range(EMB_LSH_BANDS))
+    dot = _fold_dot_sql("va.ev", "vb.ev", EMB_DIM)
+    nrm = f"sqrt({_fold_dot_sql('{0}.ev', '{0}.ev', EMB_DIM)})"
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {band_cols}
+                   FROM embeddings),
+        nz AS (SELECT vec_id, ev FROM c
+               WHERE sqrt({_fold_dot_sql('ev', 'ev', EMB_DIM)}) > 0),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.vec_id < b.vec_id AND ({band_match})),
+        verified AS (
+          SELECT cand.id_a, cand.id_b,
+                 {dot} / ({nrm.format('va')} * {nrm.format('vb')}) AS cos_raw
+          FROM cand
+          JOIN nz va ON va.vec_id = cand.id_a
+          JOIN nz vb ON vb.vec_id = cand.id_b)
+        SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+        FROM verified WHERE cos_raw >= 0.4
+    """
 
 
 def _b2q_oracle_sql() -> str:
@@ -762,7 +1224,8 @@ def _homophones_oracle_sql() -> str:
     values = ", ".join(f"('{k}', '{v}')" for k, v in PINYIN_ZH.items())
     return f"""
         WITH p(ch, py) AS (VALUES {values}),
-        g AS (SELECT py, list_sort(list(DISTINCT ch)) AS homophones FROM p GROUP BY py)
+        g AS (SELECT py, array_to_string(list_sort(list(DISTINCT ch)), ',') AS homophones
+              FROM p GROUP BY py)
         SELECT p.ch, p.py, g.homophones FROM p JOIN g USING (py)
     """
 
@@ -831,7 +1294,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
-        "dedup_jaccard": """
+        "dedup_jaccard": f"""
             WITH words AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'), x -> x <> '') AS w
@@ -840,24 +1303,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS shingles
               FROM words WHERE len(w) >= 2),
-            sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
-            inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized)
+            sized AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+            inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sized),
+            freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+            kept AS (SELECT i.doc_id, i.shingle FROM inv i
+                     JOIN freq USING (shingle) WHERE freq.df <= {JACCARD_MAX_DF}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+            inv2 AS (SELECT k.doc_id, k.shingle, s.n_sh FROM kept k JOIN sizes s USING (doc_id))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
-            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2
         """,
-        "dedup_embedding": """
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-            n AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm
-                  FROM v WHERE sqrt(list_dot_product(ev, ev)) > 0)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4
+        "dedup_embedding": _dedup_embedding_oracle_sql(),
+        "dedup_minhash": _dedup_minhash_oracle_sql(),
+        "dedup_simhash": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
+                       x -> x <> '')) AS word
+              FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM w),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+              GROUP BY doc_id, b),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN
+                           CASE WHEN b = 63 THEN -9223372036854775808
+                                ELSE (1::BIGINT << b) END
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id)
         """,
-        "zh_confusion": _confusion_oracle_sql(),
+        "zh_segment": _zh_segment_oracle_sql(),
+        "qf_detect": _qf_detect_oracle_sql(),
+        "zh_proper": _zh_proper_oracle_sql(),
+        "en_spell": _en_spell_oracle_sql(),
+        "zh_correct_full": _zh_correct_full_oracle_sql(),
+        "en_spell_full": _en_spell_full_oracle_sql(),
+        "qf_lm_ppl": _qf_lm_ppl_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
+        "eval_f1": _eval_f1_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "zh_confusion": _zh_confusion_oracle_sql(),
         "qf_uniform": _uniform_oracle_sql(),
         "qf_b2q": _b2q_oracle_sql(),
         "qf_split_len": """

@@ -117,6 +117,80 @@ def lm_corpus():
     return (CLEAN_ZH * 8) + (CLEAN_EN * 4)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sentence POOLS for sf-scalable oracle queries.
+#
+# The synthetic documents table has no CJK text, and per-doc expected outputs
+# of the detect/correct/segment operators are not SQL-expressible. The pool
+# pattern solves both: a query reads doc_ids from {sf_dir} and maps
+# doc_id % len(POOL) onto a fixed sentence pool, so (a) the input scales with
+# the table, and (b) the DuckDB oracle can JOIN documents to a VALUES table
+# of per-pool-index expected outputs precomputed by the same deterministic
+# serial implementation. Every pool below is order-frozen: REORDERING OR
+# EDITING entries invalidates committed oracle expectations only until the
+# next oracle_sql() call (expectations are regenerated on the fly), but keep
+# them stable so goldens in tests stay readable.
+# ---------------------------------------------------------------------------
+
+# proper-noun error sentences (zh_proper coverage; kept verbatim from the
+# round-1 inline fixture so goldens carry over)
+PROPER_SENTS = [
+    "三个臭皮匠顶个诸葛两",
+    "我们去北京看比赛",
+    "他在上每工作了三年",
+    "人工只能改变世界",
+    "这是一段没有专名的话",
+]
+
+
+def _corrupt_each(sents, rules):
+    """Apply every matching rule to every sentence (deterministic order)."""
+    out = []
+    for s in sents:
+        for a, b in rules:
+            if a in s:
+                out.append(s.replace(a, b, 1))
+    return out
+
+
+ZH_POOL = (
+    list(CLEAN_ZH)
+    + _corrupt_each(CLEAN_ZH, _CORRUPT_CONFUSION)
+    + _corrupt_each(CLEAN_ZH, _CORRUPT_SIMCHAR)
+    + PROPER_SENTS
+    + [t for t in JUNK_TEXTS if t]  # degenerate rows (detector_test.py:65 style)
+)
+
+# English sentences with injected typos (deterministic; en_spell coverage)
+EN_TYPO_SENTS = [
+    "i am lerning to use the speling checker",
+    "the systim can corect this sentense quickly",
+    "peotrry and bycycle are arrainged in the wrong ordr",
+    "please chek the qualaty of the output text",
+    "this line was gorrectud by the spell model",
+    "no mistakes in this perfectly normal sentence",
+]
+
+EN_POOL = (
+    list(CLEAN_EN)
+    + _corrupt_each(CLEAN_EN, _CORRUPT_EN)
+    + EN_TYPO_SENTS
+)
+
+# mixed pool for LM-perplexity / shingle-hash queries: zh + en + junk
+PPL_POOL = list(CLEAN_ZH) + list(EN_POOL) + ["", "   ", "!!!???..."]
+
+# minhash/shingle pool: multi-word English docs with near-dup structure
+# (copies with one word swapped) plus one too-short doc (< k words) that
+# must be DROPPED by the signature stage — the oracle mirrors the drop.
+MINHASH_POOL = (
+    list(CLEAN_EN)
+    + [s.replace("the", "a", 1) for s in CLEAN_EN]
+    + [s + " extra tail words here" for s in CLEAN_EN[:4]]
+    + ["too short", ""]
+)
+
+
 def corrupt_sentence(sent: str, rng: np.random.Generator):
     """Apply the first matching corruption rule (deterministic given rng)."""
     rules = _CORRUPT_CONFUSION + _CORRUPT_SIMCHAR
@@ -218,6 +292,32 @@ def word_freq_zh():
     for truth in CONFUSION_DICT.values():
         wf.setdefault(truth, 100)
     return wf
+
+
+# ---------------------------------------------------------------------------
+# Scalar encodings for array-valued operator outputs.
+#
+# The driver's correctness canonicalizer sorts every output column and
+# cannot hash list values ("unhashable type: list"), so queries emit arrays
+# as pipe-joined scalar strings. These encoders are shared by the Spark
+# query wrappers AND the driver-side oracle precompute, so both sides
+# produce byte-identical strings by construction.
+# ---------------------------------------------------------------------------
+
+
+def fmt_tokens(tokens) -> str:
+    """[(token, begin, end), ...] -> 'token:b:e|token:b:e'."""
+    return "|".join(f"{t}:{int(b)}:{int(e)}" for t, b, e in tokens)
+
+
+def fmt_detections(dets) -> str:
+    """[[word, begin, end, type], ...] -> 'word:b:e:type|...'."""
+    return "|".join(f"{w}:{int(b)}:{int(e)}:{ty}" for w, b, e, ty in dets)
+
+
+def fmt_corrections(errs) -> str:
+    """[(wrong, right, pos), ...] -> 'wrong>right:pos|...'."""
+    return "|".join(f"{w}>{r}:{int(p)}" for w, r, p in errs)
 
 
 def make_eval_pairs(n: int = 120, seed: int = 7) -> pd.DataFrame:

@@ -267,6 +267,150 @@ def stddev_outlier_indices(scores: np.ndarray, n_sigma: float = 2.0):
     return [int(i) for i in np.where((scores < lo) | (scores > hi))[0]]
 
 
+def _id_to_token(lm: CharNgramLM):
+    rev = {i: ("<sp>" if c == " " else c) for c, i in lm.vocab.items()}
+    rev[0] = "<unk>"
+    rev[1] = "<s>"
+    rev[2] = "</s>"
+    return rev
+
+
+def to_arpa_lines(lm: CharNgramLM):
+    """Serialize a CharNgramLM to standard ARPA text lines (log10 probs,
+    TAB-separated, \\data\\ header) — the interchange format KenLM's
+    lmplz/build_binary consume and emit, so a model trained here can be
+    inspected or shipped, and load_arpa(to_arpa_lines(lm)) round-trips to
+    identical scores."""
+    rev = _id_to_token(lm)
+    base = lm.base
+    uni_ids = [0, 1, 2] + sorted(lm.vocab.values())
+    lines = ["\\data\\",
+             f"ngram 1={len(uni_ids)}",
+             f"ngram 2={len(lm.keys2)}",
+             f"ngram 3={len(lm.keys3)}",
+             "",
+             "\\1-grams:"]
+    for i in uni_ids:
+        bow = lm.bow1[i]
+        if bow != 0.0:
+            lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}\t{bow:.7f}")
+        else:
+            lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}")
+    lines.append("")
+    lines.append("\\2-grams:")
+    for k, p, bow in zip(lm.keys2, lm.p2, lm.bow2):
+        a, b = divmod(int(k), base)
+        gram = f"{rev[a]} {rev[b]}"
+        if bow != 0.0:
+            lines.append(f"{p:.7f}\t{gram}\t{bow:.7f}")
+        else:
+            lines.append(f"{p:.7f}\t{gram}")
+    lines.append("")
+    lines.append("\\3-grams:")
+    for k, p in zip(lm.keys3, lm.p3):
+        ab, c = divmod(int(k), base)
+        a, b = divmod(ab, base)
+        lines.append(f"{p:.7f}\t{rev[a]} {rev[b]} {rev[c]}")
+    lines.append("")
+    lines.append("\\end\\")
+    return lines
+
+
+def load_arpa(source) -> CharNgramLM:
+    """Parse a standard ARPA text model into a CharNgramLM.
+
+    ``source``: a path or an iterable of lines. Orders 1-3 supported
+    (higher orders rejected — the detector's query semantics are order-3,
+    reference detector.py:268-284). Tokens must be single characters apart
+    from <s>/</s>/<unk> and the <sp> escape for the literal space char —
+    ARPA cannot carry a bare space token, since space is the n-gram
+    separator (this is a CHAR LM, the reference's people_chars_lm.klm
+    class of model). Backoff weights default to 0 when a line omits them,
+    per the ARPA spec."""
+    if isinstance(source, str):
+        with open(source, "r", encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    else:
+        lines = list(source)
+
+    sections = {}
+    order = 0
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("\\") and line.endswith("-grams:"):
+            order = int(line[1:line.index("-")])
+            if order > 3:
+                raise ValueError(f"ARPA order {order} unsupported (max 3)")
+            sections[order] = []
+            continue
+        if line in ("\\data\\", "\\end\\") or line.startswith("ngram "):
+            order = 0
+            continue
+        if order:
+            parts = line.split("\t")
+            if len(parts) == 1:  # some tools emit space-separated rows
+                parts = line.split()
+                parts = [parts[0], " ".join(parts[1:order + 1])] + parts[order + 1:]
+            logp = float(parts[0])
+            gram = parts[1].split(" ")
+            bow = float(parts[2]) if len(parts) > 2 else 0.0
+            sections[order].append((logp, gram, bow))
+
+    if 1 not in sections:
+        raise ValueError("ARPA file has no \\1-grams: section")
+
+    special = {"<s>": 1, "</s>": 2, "<unk>": 0}
+    # un-escape the space token before vocabulary assembly
+    for sec in sections.values():
+        for _, gram, _ in sec:
+            for j, tok in enumerate(gram):
+                if tok == "<sp>":
+                    gram[j] = " "
+    chars = sorted(
+        g[0] for _, g, _ in sections[1] if g[0] not in special
+    )
+    for c in chars:
+        if len(c) != 1:
+            raise ValueError(
+                f"token {c!r} is not a single character — load_arpa expects "
+                "a char-level model (train word models upstream instead)"
+            )
+    vocab = {c: i + 3 for i, c in enumerate(chars)}
+    base = len(vocab) + 3
+
+    def tid(tok):
+        return special.get(tok, vocab.get(tok, 0))
+
+    p1 = np.full(base, LOG10_EPS, dtype=np.float64)
+    bow1 = np.zeros(base, dtype=np.float64)
+    for logp, gram, bow in sections[1]:
+        i = tid(gram[0])
+        p1[i] = logp
+        bow1[i] = bow
+
+    keys2, p2v, bow2v = [], [], []
+    for logp, gram, bow in sections.get(2, []):
+        keys2.append(_pack2(tid(gram[0]), tid(gram[1]), base))
+        p2v.append(logp)
+        bow2v.append(bow)
+    order2 = np.argsort(np.array(keys2, dtype=np.int64), kind="stable")
+    k2 = np.array(keys2, dtype=np.int64)[order2]
+    p2 = np.array(p2v, dtype=np.float64)[order2]
+    bow2 = np.array(bow2v, dtype=np.float64)[order2]
+
+    keys3, p3v = [], []
+    for logp, gram, _bow in sections.get(3, []):
+        keys3.append(_pack3(tid(gram[0]), tid(gram[1]), tid(gram[2]), base))
+        p3v.append(logp)
+    order3 = np.argsort(np.array(keys3, dtype=np.int64), kind="stable")
+    k3 = np.array(keys3, dtype=np.int64)[order3]
+    p3 = np.array(p3v, dtype=np.float64)[order3]
+
+    return CharNgramLM(vocab, p1, bow1, k2, p2, bow2, k3, p3)
+
+
 def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
     """Train an order-3 absolute-discount backoff char LM.
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..textops import WORD_SPLIT_PATTERN as TOKEN_SPLIT  # single frozen splitter
 from ..textops import blake2b64 as _blake2b64
+from ..textops import md5_64 as _md5_64
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
@@ -183,12 +184,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted-index self-join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     The join key is the 64-bit shingle hash, so the shuffle carries
     (id, int64) rows instead of shingle strings.
+
+    ``max_df`` caps shingle document frequency: shingles appearing in more
+    than max_df docs are dropped BEFORE the self-join (a shingle shared by
+    m docs contributes m^2/2 join rows — one boilerplate phrase across a
+    web corpus makes the join quadratic). With the cap, jaccard is computed
+    over each doc's KEPT shingle set (both |A∩B| and the set sizes) — the
+    standard df-capped similarity; near-dup pairs lose no signal because a
+    >max_df shingle carries none. Default None = exact semantics; at web
+    scale always set it (or front with minhash_lsh_candidates).
     """
     sh = with_shingle_hashes(df, id_col, text_col, k)
     sized = sh.select(
@@ -197,6 +208,18 @@ def ngram_jaccard_pairs(
         F.size("shingle_hashes").alias("n_sh"),
     ).filter(F.col("n_sh") > 0)
     inv = sized.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        # df-filter + per-doc size recount; both aggs have map-side partial
+        # aggregation and shuffle on the same keys the self-join uses
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        kept = inv.drop("n_sh").join(keep, "shingle")
+        sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
+        inv = kept.join(sizes, "id")
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -428,7 +451,13 @@ def minhash_dedup_pairs(
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over word unigrams (FNV-1a)."""
+    """(id, simhash long): 64-bit SimHash over word unigrams.
+
+    Word hash = md5_64 (not blake2b64): equally uniform, but re-derivable
+    in the DuckDB oracle (`('0x'||substr(md5(w),1,16))::UBIGINT`), so the
+    whole operator is SQL-verifiable over the real corpus. Cost parity:
+    the per-worker memo cache absorbs both hashes identically.
+    Docs with no words hash to 0."""
 
     def fn(it):
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -445,7 +474,7 @@ def simhash64(
                 for j, w in enumerate(words):
                     h = cache.get(w)
                     if h is None:
-                        h = _blake2b64(w)
+                        h = _md5_64(w)
                         if len(cache) < 1_000_000:
                             cache[w] = h
                     hs[j] = h

@@ -27,8 +27,10 @@ MEDIA_SCHEMA_DDL = (  # matches make_media_table output (pandas ints -> bigint)
 FEATURE_DIM = 16
 
 
-def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads with metadata)."""
+def media_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake media rows (media_id, mime, width, height,
+    payload bytes) — pure function shared by make_media_table and the
+    driver-side oracle precompute."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -36,7 +38,14 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         h = int(rng.integers(16, 256))
         payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
         rows.append((i, "image/png" if i % 3 else "image/jpeg", w, h, payload))
-    pdf = pd.DataFrame(rows, columns=["media_id", "mime", "width", "height", "payload"])
+    return rows
+
+
+def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads with metadata)."""
+    pdf = pd.DataFrame(
+        media_rows(n, seed), columns=["media_id", "mime", "width", "height", "payload"]
+    )
     return spark.createDataFrame(pdf)
 
 

@@ -36,7 +36,8 @@ class Artifacts:
     """Driver-built, broadcast-shipped model + dictionaries."""
 
     def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
-                 en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None):
+                 en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None,
+                 proper=None):
         self.lm = lm
         self.word_freq = word_freq
         self.confusion = confusion
@@ -46,6 +47,7 @@ class Artifacts:
         self.en_confusion = en_confusion
         self.cfg = cfg
         self.en_index = en_index
+        self.proper = proper  # optional ProperCorrector (detection stage 2)
 
 
 def build_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
@@ -69,9 +71,78 @@ def build_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
     )
 
 
+def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
+    """Artifacts with REFERENCE-SCALE dimensions loaded from the public
+    data files (dictio.py loaders, S3-S9): the char confusion set becomes
+    the real same_pinyin (~3.3k rows) ∪ same_stroke (~2.5k rows) union —
+    the exact composition the reference uses (corrector.py:124-140) — the
+    English dict the real 30k-word en.json.gz, stopwords the real 1.4k
+    list, and proper-noun correction runs against person+place+proper
+    names (~58k) with the 12k-char stroke table. Files absent -> graceful
+    fallback to the embedded toy dims (the result equals build_artifacts()
+    plus an empty proper corrector).
+
+    Build cost is driver-side one-time (~7 s: SymSpell deletes index over
+    30k words + 58k-name positional index); ships as one broadcast.
+    """
+    from ..dictio import full_dims
+    from ..refimpl.proper import ProperCorrector
+    from ..symspell import DeletesIndex
+
+    dims = full_dims()
+    base = build_artifacts(cfg)
+
+    similar = {k: set(v) for k, v in base.similar.items()}
+    for table in (dims["same_pinyin"], dims["same_stroke"]):
+        for ch, group in table.items():
+            similar.setdefault(ch, set()).update(group)
+
+    en_wf = dict(dims["en_word_freq"]) or dict(base.en_word_freq)
+    # fixture vocabulary stays known so clean fixture docs are never
+    # "corrected" into dictionary words
+    for w, c in base.en_word_freq.items():
+        en_wf.setdefault(w, c)
+
+    names = dims["person_names"] | dims["place_names"] | dims["proper_names"]
+    proper = ProperCorrector(
+        names or set(), stroke_codes=dims["stroke_codes"] or None
+    ) if names else None
+
+    return Artifacts(
+        lm=base.lm,
+        word_freq=base.word_freq,
+        confusion=base.confusion,
+        similar=similar,
+        stopwords=set(base.stopwords) | dims["stopwords"],
+        en_word_freq=en_wf,
+        en_confusion=base.en_confusion,
+        cfg=cfg,
+        en_index=DeletesIndex(sorted(en_wf)),
+        proper=proper,
+    )
+
+
 # per-Python-worker singleton (one Corrector per executor process, amortized
 # over all Arrow batches — NOT per batch, NOT per row)
 _WORKER_CACHE = {}
+
+
+def make_workers(art: Artifacts):
+    """(zh Corrector, en EnSpellCorrector) from an Artifacts bundle — the
+    ONE construction path, shared by the executor singleton below and by
+    driver-side oracle precompute so both build identical correctors."""
+    zh = Corrector(
+        lm=art.lm,
+        word_freq=art.word_freq,
+        confusion_dict=art.confusion,
+        stopwords=art.stopwords,
+        similar_chars=art.similar,
+        ppl_threshold=art.cfg.ppl_rerank_threshold,
+        proper=getattr(art, "proper", None),
+    )
+    en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
+                          index=getattr(art, "en_index", None))
+    return zh, en
 
 
 def _get_workers(bc):
@@ -82,16 +153,7 @@ def _get_workers(bc):
     key = getattr(bc, "_path", None) or id(bc)
     if key not in _WORKER_CACHE:
         art: Artifacts = bc.value
-        zh = Corrector(
-            lm=art.lm,
-            word_freq=art.word_freq,
-            confusion_dict=art.confusion,
-            stopwords=art.stopwords,
-            similar_chars=art.similar,
-            ppl_threshold=art.cfg.ppl_rerank_threshold,
-        )
-        en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
-                              index=getattr(art, "en_index", None))
+        zh, en = make_workers(art)
         _WORKER_CACHE.clear()  # only one broadcast generation alive at a time
         _WORKER_CACHE[key] = (art, zh, en)
     return _WORKER_CACHE[key]

@@ -84,8 +84,28 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Random projection directions as DYADIC rationals (k/1024, k in
+    [-512, 512]): sign-LSH only needs symmetric random directions, and
+    dyadic values round-trip exactly through decimal SQL literals — so the
+    DuckDB oracle can rebuild the identical planes and the sign bits match
+    bit-for-bit (a Gaussian float printed to decimal can parse one ulp off
+    in another engine, silently flipping a near-zero dot's sign)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+    return rng.integers(-512, 513, size=(n_planes, dim)).astype(np.float64) / 1024.0
+
+
+def _leftfold_dots(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_rows, n_planes) dot products accumulated dimension-by-dimension —
+    a strict left fold per element, bit-identical to DuckDB
+    ``list_reduce(list_apply(...), (a,b) -> a+b)`` and to Spark's
+    ``aggregate()`` HOF fold. GEMM (mat @ planes.T) uses blocked/SIMD
+    summation whose order differs, which can flip the SIGN of a near-zero
+    dot and desync LSH buckets from the oracle. Still vectorized: one numpy
+    op per dimension over all rows, not one per row."""
+    acc = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d: d + 1] * planes[None, :, d]
+    return acc
 
 
 def with_lsh_bucket(
@@ -97,7 +117,7 @@ def with_lsh_bucket(
     out: str = "bucket",
 ) -> DataFrame:
     """Sign-bit LSH bucket id (int) from random hyperplanes — vectorized
-    numpy GEMM over Arrow batches."""
+    numpy (per-dimension left-fold accumulation) over Arrow batches."""
     if dim is None:
         first = df.select(F.size(vec_col)).filter(F.col(vec_col).isNotNull()).first()
         if first is None or first[0] is None or first[0] <= 0:
@@ -113,7 +133,7 @@ def with_lsh_bucket(
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
-            bits = (mat @ planes.T) > 0
+            bits = _leftfold_dots(mat, planes) > 0
             bucket = np.zeros(len(pdf), dtype=np.int64)
             for j in range(n_planes):
                 bucket |= bits[:, j].astype(np.int64) << j
@@ -343,6 +363,206 @@ def cosine_near_dup_pairs(
 
     return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         fn, "id_a long, id_b long, cosine double"
+    )
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int = None,
+) -> DataFrame:
+    """(id, band, band_bits): banded sign-LSH keys, one row per band.
+
+    n_planes sign bits split into `bands` groups; two vectors are
+    candidates if ANY band's bits match (OR over bands -> recall rises with
+    band count, per-band bits keep buckets selective). Bits come from
+    left-fold dots over dyadic planes, so the DuckDB oracle reproduces them
+    exactly (see _leftfold_dots / _hyperplanes)."""
+    if n_planes % bands:
+        raise ValueError(f"n_planes({n_planes}) must be divisible by bands({bands})")
+    rpb = n_planes // bands
+    if dim is None:
+        first = df.select(F.size(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+        if first is None or first[0] is None or first[0] <= 0:
+            raise ValueError("cannot infer embedding dim; pass dim= explicitly")
+        dim = first[0]
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            bits = _leftfold_dots(mat, planes) > 0
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            out_ids = np.repeat(ids, bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int64), n)
+            keys = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(rpb):
+                    keys[:, b] |= bits[:, b * rpb + j].astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "band": out_band,
+                    "band_bits": keys.reshape(-1),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        fn, f"{id_col} long, band long, band_bits long"
+    )
+
+
+def cosine_near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: banded sign-LSH candidates verified by
+    exact cosine — the DEFAULT path (no driver-side collect; the exact GEMM
+    baseline `cosine_near_dup_pairs` stays behind a corpus-size guard in
+    `cosine_near_dup`). Returns (id_a, id_b, cosine rounded to 6) for
+    candidate pairs with cosine >= threshold; recall is the banded-LSH
+    s-curve (bands=4 x 4 bits: ~1-(1-(1-theta/pi)^4)^4), not 1.0 — that is
+    the operator's declared contract and the oracle mirrors it exactly.
+
+    Plan shape: one Arrow pass for band keys, self-join shuffling only
+    (id, band, bits) longs, distinct pairs, then vectors join + JVM-fold
+    cosine on candidates only."""
+    banded = with_lsh_bands(df, id_col, vec_col, n_planes, bands, seed)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(_norm(F.col("v")) > 0)  # zero vectors can never verify (NaN cosine)
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_raw", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .filter(F.col("cos_raw") >= threshold)
+    )
+    return scored.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cosine")
+    )
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    exact_limit: int = 200_000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Size-guarded dispatcher: exact GEMM all-pairs while the corpus fits
+    the broadcast envelope, banded-LSH candidates + exact verify beyond it."""
+    n = df.count()
+    if n <= exact_limit:
+        return cosine_near_dup_pairs(df, id_col, vec_col, threshold)
+    return cosine_near_dup_pairs_bucketed(df, id_col, vec_col, threshold, **lsh_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# IVF with a real stored index (partition pruning)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF build step: assign each vector to its nearest centroid and write
+    the corpus partitioned by `cell`. Probes then read only nprobe
+    directories — genuine partition pruning instead of a full scan."""
+    ivf_assign(df.select(id_col, vec_col), centroids).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries_pdf: pd.DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF index: scan ONLY the union of each query's nprobe
+    nearest cells (partition-pruned read), GEMM partial top-k per batch
+    using the STORED cell column, then a tiny global top-k reduce."""
+    cb = np.asarray(centroids, dtype=np.float64)
+    qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+    qids = queries_pdf[id_col].to_numpy()
+    d = ((cb ** 2).sum(axis=1)[None, :]) - 2.0 * (qmat @ cb.T)
+    probe_cells = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(qids), len(cb)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probe_cells[qi]] = True
+    needed = sorted({int(c) for row in probe_cells for c in row})
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf
+
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.inf
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            rows = []
+            for qi in range(len(qids)):
+                qid = int(qids[qi])
+                cand = np.where(probe_mask[qi, cells] & (ids != qid))[0]
+                if not len(cand):
+                    continue
+                col = sims[:, qi]
+                order = np.lexsort((ids[cand], -col[cand]))
+                top = cand[order[:k]]
+                rows.extend((qid, int(ids[t]), float(col[t])) for t in top)
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = corpus.mapInPandas(fn, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -73,18 +73,21 @@ def fuzzy_pinyin(py: str) -> str:
     return py
 
 
-def pinyin_of(ch: str) -> str:
-    """Toneless pinyin; chars outside the embedded table get a
-    deterministic per-char code so cross-char similarity stays low
-    (the reference's lazy_pinyin has full coverage; ours is a dim)."""
-    py = PINYIN_ZH.get(ch)
+def pinyin_of(ch: str, table: dict = None) -> str:
+    """Toneless pinyin; chars outside the table get a collision-free
+    per-char fallback code (the full codepoint in hex) so unknown chars
+    only ever compare equal to THEMSELVES — a modular fallback would make
+    unrelated out-of-table chars exact 'homophones' and could push
+    word_similarity past the proper-noun rewrite threshold on real text.
+    (The reference's lazy_pinyin has full coverage; ours is a dim.)"""
+    py = (PINYIN_ZH if table is None else table).get(ch)
     if py is not None:
         return py
-    return f"q{ord(ch) % 997:03d}"
+    return f"q{ord(ch):05x}"
 
 
-def stroke_of(ch: str) -> str:
-    code = STROKE_CODES.get(ch)
+def stroke_of(ch: str, table: dict = None) -> str:
+    code = (STROKE_CODES if table is None else table).get(ch)
     if code is not None:
         return code
     o = ord(ch)
@@ -92,7 +95,11 @@ def stroke_of(ch: str) -> str:
 
 
 class ProperCorrector:
-    """Positional-inverted-index proper-noun corrector."""
+    """Positional-inverted-index proper-noun corrector.
+
+    ``stroke_codes`` / ``pinyin_table`` inject reference-scale dimensions
+    (dictio.full_dims: stroke.txt ~12k chars) in place of the embedded
+    toys; None keeps the embedded dims."""
 
     def __init__(
         self,
@@ -100,11 +107,15 @@ class ProperCorrector:
         sim_threshold: float = 0.85,
         min_word_len: int = 2,
         max_word_len: int = 4,
+        stroke_codes: dict = None,
+        pinyin_table: dict = None,
     ):
         self.names = set(proper_names)
         self.sim_threshold = sim_threshold
         self.min_word_len = min_word_len
         self.max_word_len = max_word_len
+        self._stroke_table = stroke_codes
+        self._pinyin_table = pinyin_table
         # three positional inverted indexes keyed (len, pos, key) -> names
         # (proper_corrector.py:73-86)
         self.index_char = {}
@@ -115,15 +126,21 @@ class ProperCorrector:
             for pos, ch in enumerate(name):
                 self.index_char.setdefault((ln, pos, ch), set()).add(name)
                 self.index_pinyin.setdefault(
-                    (ln, pos, fuzzy_pinyin(pinyin_of(ch))), set()
+                    (ln, pos, fuzzy_pinyin(self._pinyin(ch))), set()
                 ).add(name)
-                self.index_stroke.setdefault((ln, pos, stroke_of(ch)), set()).add(name)
+                self.index_stroke.setdefault((ln, pos, self._stroke(ch)), set()).add(name)
         # memo caches (proper_corrector.py:77-78, 88-101) — plain dicts,
         # rebuilt per executor after broadcast unpickle; bounded so a
         # unique-n-gram stream cannot grow worker memory without limit
         # (same guard as EnSpellCorrector._CACHE_MAX)
         self._sim_cache = {}
         self._sim_cache_max = 200_000
+
+    def _pinyin(self, ch: str) -> str:
+        return pinyin_of(ch, self._pinyin_table)
+
+    def _stroke(self, ch: str) -> str:
+        return stroke_of(ch, self._stroke_table)
 
     # -- recall (proper_corrector.py:240-266) --
 
@@ -135,8 +152,8 @@ class ProperCorrector:
         for pos, ch in enumerate(word):
             bucket = set()
             bucket |= self.index_char.get((ln, pos, ch), set())
-            bucket |= self.index_pinyin.get((ln, pos, fuzzy_pinyin(pinyin_of(ch))), set())
-            bucket |= self.index_stroke.get((ln, pos, stroke_of(ch)), set())
+            bucket |= self.index_pinyin.get((ln, pos, fuzzy_pinyin(self._pinyin(ch))), set())
+            bucket |= self.index_stroke.get((ln, pos, self._stroke(ch)), set())
             for name in bucket:
                 votes[name] = votes.get(name, 0) + 1
         min_votes = max(ln - 1, 1)
@@ -149,8 +166,8 @@ class ProperCorrector:
     def char_sim(self, a: str, b: str) -> float:
         if a == b:
             return 1.0
-        stroke = norm_sim(stroke_of(a), stroke_of(b))
-        pinyin = norm_sim(fuzzy_pinyin(pinyin_of(a)), fuzzy_pinyin(pinyin_of(b)))
+        stroke = norm_sim(self._stroke(a), self._stroke(b))
+        pinyin = norm_sim(fuzzy_pinyin(self._pinyin(a)), fuzzy_pinyin(self._pinyin(b)))
         return max(stroke, pinyin)
 
     def word_similarity(self, a: str, b: str) -> float:
@@ -159,10 +176,10 @@ class ProperCorrector:
         hit = self._sim_cache.get(key)
         if hit is not None:
             return hit
-        stroke = norm_sim("".join(stroke_of(c) for c in a), "".join(stroke_of(c) for c in b))
+        stroke = norm_sim("".join(self._stroke(c) for c in a), "".join(self._stroke(c) for c in b))
         pinyin = norm_sim(
-            "".join(fuzzy_pinyin(pinyin_of(c)) for c in a),
-            "".join(fuzzy_pinyin(pinyin_of(c)) for c in b),
+            "".join(fuzzy_pinyin(self._pinyin(c)) for c in a),
+            "".join(fuzzy_pinyin(self._pinyin(c)) for c in b),
         )
         sim = max(stroke, pinyin)
         if len(self._sim_cache) < self._sim_cache_max:

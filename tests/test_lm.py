@@ -121,3 +121,77 @@ def test_train_char_lm_rejects_min_count():
 
     with pytest.raises(ValueError):
         train_char_lm(["abc"], min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# ARPA interchange (S10: KenLM-compatible model source)
+# ---------------------------------------------------------------------------
+
+
+def test_load_arpa_hand_computed_backoff():
+    """Tiny hand-written ARPA: probe hits and backoff paths against
+    hand-computed log10 sums (ARPA backoff: unseen n-gram ->
+    bow(context) + p(shorter context))."""
+    from pycorrector_spark.lm.model import load_arpa
+
+    arpa = """\\data\\
+ngram 1=5
+ngram 2=3
+ngram 3=1
+
+\\1-grams:
+-1.0\t<unk>
+-0.9\t<s>\t-0.30103
+-0.8\t</s>
+-0.5\t甲\t-0.2
+-0.7\t乙\t-0.1
+
+\\2-grams:
+-0.4\t<s> 甲\t-0.05
+-0.3\t甲 乙
+-0.6\t乙 </s>
+
+\\3-grams:
+-0.2\t<s> 甲 乙
+
+\\end\\
+""".splitlines()
+    lm = load_arpa(arpa)
+    # direct bigram hit
+    assert abs(lm.score_chars("甲乙") - (-0.5 + -0.3)) < 1e-12
+    # backoff: (乙,甲) unseen -> bow1(乙) + p1(甲) = -0.1 + -0.5
+    assert abs(lm.score_chars("乙甲") - (-0.7 + (-0.1 + -0.5))) < 1e-12
+    # trigram hit with bos: p(甲|<s>) + p(乙|<s>甲) ; eos: p(</s>|甲 乙)
+    # (甲,乙,</s>) unseen -> bow2(甲乙)=0 + p(</s>|乙) = -0.6
+    expect = -0.4 + -0.2 + -0.6
+    assert abs(lm.score_chars("甲乙", bos=True, eos=True) - expect) < 1e-12
+    # OOV char hits <unk>
+    assert abs(lm.score_chars("丙") - (-1.0)) < 1e-12
+
+
+def test_arpa_round_trip_matches_trained_lm():
+    """train -> dump ARPA -> reload: same vocabulary, same ppl to within
+    the %.7f serialization precision."""
+    import numpy as np
+
+    from pycorrector_spark.fixtures import lm_corpus
+    from pycorrector_spark.lm.model import load_arpa, to_arpa_lines, train_char_lm
+
+    lm = train_char_lm(lm_corpus())
+    lm2 = load_arpa(to_arpa_lines(lm))
+    assert lm2.vocab == lm.vocab
+    texts = ["少先队员应该为老人让座", "the quick brown fox", "人工只能布局", ""]
+    p1 = lm.ppl_batch(texts)
+    p2 = lm2.ppl_batch(texts)
+    assert np.allclose(p1, p2, rtol=1e-5)
+
+
+def test_load_arpa_rejects_high_order_and_multichar_tokens():
+    import pytest
+
+    from pycorrector_spark.lm.model import load_arpa
+
+    with pytest.raises(ValueError, match="order 4"):
+        load_arpa(["\\data\\", "\\4-grams:", "-1.0\ta b c d", "\\end\\"])
+    with pytest.raises(ValueError, match="single character"):
+        load_arpa(["\\data\\", "\\1-grams:", "-1.0\tword", "\\end\\"])

@@ -126,25 +126,29 @@ def test_cli_parquet_resume_mode(spark, tmp_path):
     assert audit.agg({"n_rows": "sum"}).first()[0] == 2
 
 
-def test_confusion_fixture_sentences_have_no_overlapping_variants():
-    """The chained-replace oracle for zh_confusion is exact only when no
-    two variant occurrences overlap in a fixture sentence — guard it."""
-    from __spark_entry__ import _CONFUSION_SENTS
-    from pycorrector_spark.dicts import CONFUSION_DICT
+def test_confusion_pool_oracle_matches_serial_corrector():
+    """The zh_confusion oracle is now a generated VALUES table of expected
+    targets per pool index (round 1's chained-replace oracle was only
+    valid while fixture sentences avoided overlapping variant
+    occurrences). Verify the generated SQL end-to-end in DuckDB against
+    the serial corrector on every pool sentence."""
+    import duckdb
 
-    for sent in _CONFUSION_SENTS:
-        spans = []
-        for variant in CONFUSION_DICT:
-            start = 0
-            while True:
-                i = sent.find(variant, start)
-                if i < 0:
-                    break
-                spans.append((i, i + len(variant)))
-                start = i + 1
-        spans.sort()
-        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
-            assert b1 <= a2, f"overlapping variants in fixture: {sent}"
+    from __spark_entry__ import _zh_confusion_oracle_sql
+    from pycorrector_spark.dicts import CONFUSION_DICT
+    from pycorrector_spark.fixtures import ZH_POOL
+    from pycorrector_spark.refimpl.core import ConfusionCorrector
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT unnest(range(%d)) AS doc_id"
+        % len(ZH_POOL)
+    )
+    rows = dict(con.execute(_zh_confusion_oracle_sql()).fetchall())
+    cc = ConfusionCorrector(dict(CONFUSION_DICT))
+    assert len(rows) == len(ZH_POOL)
+    for i, sent in enumerate(ZH_POOL):
+        assert rows[i] == cc.correct(sent)["target"]
 
 
 def test_proper_char_sim_consistent_with_word_similarity():
