@@ -283,28 +283,30 @@ def q_ngram_counts(spark, sf_dir):
 
 
 def q_zh_segment(spark, sf_dir):
-    """Word segmentation with spans (T4/T5 jieba stand-in, divergence #2)
-    over the sf-scaled CJK pool; tokens emitted as a pipe-joined scalar so
-    the checker canonicalizer can hash them. Oracle: per-pool-index
-    expected encodings from the same pure tokenizer, joined on doc_id %
-    pool size."""
+    """Word segmentation with spans (T4/T5): jieba's cut(HMM=False)
+    max-probability DAG route over the broadcast frequency dict, over the
+    sf-scaled CJK pool; tokens emitted as a pipe-joined scalar so the
+    checker canonicalizer can hash them. Oracle: per-pool-index expected
+    encodings from the same pure tokenizer, joined on doc_id % pool size."""
     import pandas as pd
     from pycorrector_spark.fixtures import ZH_POOL
 
     df = _pool_docs(spark, sf_dir, ZH_POOL)
-    bc = spark.sparkContext.broadcast(set(_artifacts_cached().word_freq))
+    bc = spark.sparkContext.broadcast(dict(_artifacts_cached().word_freq))
 
     def fn(it):
         from pycorrector_spark.fixtures import fmt_tokens
-        from pycorrector_spark.textops import max_match_tokens
+        from pycorrector_spark.textops import dag_max_prob_tokens
 
-        words = bc.value
+        wf = bc.value
+        total = sum(wf.values())
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "tokens": [
-                        fmt_tokens(max_match_tokens(t, words)) for t in pdf["text"]
+                        fmt_tokens(dag_max_prob_tokens(t, wf, total))
+                        for t in pdf["text"]
                     ],
                 }
             )
@@ -468,6 +470,43 @@ def q_pipeline_full(spark, sf_dir):
     )
 
 
+_PIPE_COLS = [
+    "lang_id", "n_chars", "symbol_ratio", "rep_ratio", "ppl", "n_errors",
+    "keep", "drop_reason", "scrubbed_text", "corrected_text",
+]
+
+
+def q_pipeline_pool(spark, sf_dir):
+    """The COMPLETE quality-filter pipeline (signals + gate + LM ppl +
+    detect/correct + scrub + keep/drop), oracle-checked end-to-end: same
+    one-Arrow-pass stage as qf_pipeline_full, but over the sf-scaled mixed
+    pool so every output column — including the float ppl and the
+    corrected text — joins against golden rows precomputed by the serial
+    reference oracle (refimpl/golden.py). qf_pipeline_full remains the
+    real-corpus (rows-only) variant."""
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.pipeline import run_quality_pipeline
+
+    d = ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL))
+    bc = spark.sparkContext.broadcast(_artifacts_cached())
+    scored = run_quality_pipeline(spark, d, repartition=0, bc=bc)
+    return scored.select("doc_id", *_PIPE_COLS)
+
+
+@functools.lru_cache(maxsize=None)
+def _pipeline_pool_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.refimpl.golden import golden_row
+
+    zh, en = _workers_cached()
+    rows = []
+    for i, s in enumerate(PPL_POOL):
+        g = golden_row(s, zh, en)
+        rows.append((i, tuple(g[c] for c in _PIPE_COLS)))
+    return _pool_oracle_sql(len(PPL_POOL), _PIPE_COLS, rows)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs via the scale-default path: banded
     sign-LSH candidates + exact JVM-fold cosine verify — NO driver-side
@@ -485,19 +524,48 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_zh_t2s(spark, sf_dir):
-    """Traditional -> simplified conversion (P7) over the embedded
-    single-char table — vectorized str.translate in one Arrow pass."""
+    """Traditional -> simplified conversion (P7) over the FULL single-char
+    table (embedded toys merged with the public zh_wiki zh2Hans rows,
+    ~2.7k chars) — vectorized str.translate in one Arrow pass; the oracle
+    is a translate() generated from the same merged table."""
     import pandas as pd
     from pycorrector_spark.operators.dedup import ensure_parallelism
-    from pycorrector_spark.textops import t2s_series
 
     def fn(it):
+        from pycorrector_spark.textops import t2s_full_series
+
         for pdf in it:
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simp_text": t2s_series(pdf["text"])}
+                {"doc_id": pdf["doc_id"], "simp_text": t2s_full_series(pdf["text"])}
             )
 
     return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, simp_text string"
+    )
+
+
+def q_zh_t2s_phrase(spark, sf_dir):
+    """Phrase-aware traditional -> simplified (the langconv longest-match
+    FSM semantics: multi-char zh_wiki phrases like 印表機->打印机 take
+    precedence over char-by-char mapping) over the sf-scaled traditional
+    pool. Oracle: per-pool-index expected conversions from the identical
+    prebuilt rewriter."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import ZHT_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    def fn(it):
+        from pycorrector_spark.textops import t2s_full
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simp_text": [t2s_full(t) for t in pdf["text"]],
+                }
+            )
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, ZHT_POOL)).mapInPandas(
         fn, "doc_id long, simp_text string"
     )
 
@@ -830,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_segment": q_zh_segment,
         "qf_lm_ppl": q_lm_ppl,
         "qf_pipeline_full": q_pipeline_full,
+        "qf_pipeline_pool": q_pipeline_pool,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -838,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "zh_t2s": q_zh_t2s,
+        "zh_t2s_phrase": q_zh_t2s_phrase,
         "zh_homophones": q_homophones,
         "langid_agreement": q_langid_agreement,
         "en_spell": q_en_spell,
@@ -886,6 +956,8 @@ def _dlit(v: float) -> str:
 def _vlit(v) -> str:
     import numpy as np
 
+    if v is None:
+        return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, np.integer)):
@@ -928,11 +1000,13 @@ def _workers_cached():
 @functools.lru_cache(maxsize=None)
 def _zh_segment_oracle_sql() -> str:
     from pycorrector_spark.fixtures import ZH_POOL, fmt_tokens
-    from pycorrector_spark.textops import max_match_tokens
+    from pycorrector_spark.textops import dag_max_prob_tokens
 
-    words = set(_artifacts_cached().word_freq)
+    wf = dict(_artifacts_cached().word_freq)
+    total = sum(wf.values())
     rows = [
-        (i, (fmt_tokens(max_match_tokens(s, words)),)) for i, s in enumerate(ZH_POOL)
+        (i, (fmt_tokens(dag_max_prob_tokens(s, wf, total)),))
+        for i, s in enumerate(ZH_POOL)
     ]
     return _pool_oracle_sql(len(ZH_POOL), ["tokens"], rows)
 
@@ -1207,15 +1281,25 @@ def _uniform_oracle_sql() -> str:
 
 
 def _t2s_oracle_sql() -> str:
-    """translate() over the same embedded table (generated so the oracle
-    can never drift from the dict)."""
-    from pycorrector_spark.dicts import T2S_CHARS
+    """translate() over the same merged full single-char table (generated
+    from the loaded table so the oracle can never drift from it)."""
+    from pycorrector_spark.textops import t2s_full_chars
 
-    src = "".join(T2S_CHARS)
-    dst = "".join(T2S_CHARS.values())
+    table = t2s_full_chars()[0]
+    src = "".join(table)
+    dst = "".join(table.values())
     return (
         f"SELECT doc_id, translate(coalesce(text, ''), '{src}', '{dst}') AS simp_text FROM documents"
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_t2s_phrase_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZHT_POOL
+    from pycorrector_spark.textops import t2s_full
+
+    rows = [(i, (t2s_full(s),)) for i, s in enumerate(ZHT_POOL)]
+    return _pool_oracle_sql(len(ZHT_POOL), ["simp_text"], rows)
 
 
 def _homophones_oracle_sql() -> str:
@@ -1348,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "zh_correct_full": _zh_correct_full_oracle_sql(),
         "en_spell_full": _en_spell_full_oracle_sql(),
         "qf_lm_ppl": _qf_lm_ppl_oracle_sql(),
+        "qf_pipeline_pool": _pipeline_pool_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
@@ -1369,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram HAVING count(*) >= 5
         """,
         "zh_t2s": _t2s_oracle_sql(),
+        "zh_t2s_phrase": _zh_t2s_phrase_oracle_sql(),
         "zh_homophones": _homophones_oracle_sql(),
         "langid_agreement": _SIGNALS_CTE + """
             SELECT d.lang, s.lang_id, count(*) AS n_docs,

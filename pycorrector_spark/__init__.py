@@ -16,8 +16,9 @@ __version__ = "0.1.0"
 # `import pycorrector_spark` stays cheap on executors.
 __all__ = [
     "Corrector", "Detector", "ConfusionCorrector", "EnSpellCorrector",
-    "ProperCorrector", "get_errors",
+    "ProperCorrector", "get_errors", "get_segment_errors",
     "traditional2simplified", "simplified2traditional",
+    "traditional2simplified_full",
     "run_quality_pipeline", "run_with_resume", "eval_corrector",
 ]
 
@@ -31,9 +32,11 @@ def __getattr__(name):
         "ConfusionCorrector": ("pycorrector_spark.refimpl.core", "ConfusionCorrector"),
         "EnSpellCorrector": ("pycorrector_spark.refimpl.core", "EnSpellCorrector"),
         "get_errors": ("pycorrector_spark.refimpl.core", "get_errors"),
+        "get_segment_errors": ("pycorrector_spark.refimpl.core", "get_segment_errors"),
         "ProperCorrector": ("pycorrector_spark.refimpl.proper", "ProperCorrector"),
         "traditional2simplified": ("pycorrector_spark.textops", "t2s"),
         "simplified2traditional": ("pycorrector_spark.textops", "s2t"),
+        "traditional2simplified_full": ("pycorrector_spark.textops", "t2s_full"),
         "run_quality_pipeline": ("pycorrector_spark.pipeline", "run_quality_pipeline"),
         "run_with_resume": ("pycorrector_spark.pipeline", "run_with_resume"),
         "eval_corrector": ("pycorrector_spark.evaluate", "eval_corrector"),

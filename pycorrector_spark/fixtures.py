@@ -180,6 +180,20 @@ EN_POOL = (
 # mixed pool for LM-perplexity / shingle-hash queries: zh + en + junk
 PPL_POOL = list(CLEAN_ZH) + list(EN_POOL) + ["", "   ", "!!!???..."]
 
+# traditional-Chinese pool (zh_t2s_phrase coverage): sentences embedding
+# multi-char zh_wiki phrase keys (印表機/說明檔案/顯著/覆蓋/名畫/翻來覆去)
+# plus plain traditional chars and one phrase-free line
+ZHT_POOL = [
+    "這裡的印表機壞了，請檢修",
+    "請參閱說明檔案的第三章內容",
+    "顯著的變化發生在這個系統",
+    "白雪覆蓋了整座山頭",
+    "博物館收藏了許多名畫",
+    "他翻來覆去睡不著",
+    "簡體與繁體轉換測試語句",
+    "这是一段没有繁体字的话",
+]
+
 # minhash/shingle pool: multi-word English docs with near-dup structure
 # (copies with one word swapped) plus one too-short doc (< k words) that
 # must be DROPPED by the signature stage — the oracle mirrors the drop.

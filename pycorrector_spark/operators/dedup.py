@@ -30,6 +30,22 @@ from ..textops import blake2b64 as _blake2b64
 from ..textops import md5_64 as _md5_64
 
 
+def release_cached(df: DataFrame) -> None:
+    """Unpersist any intermediate tables an operator cached for ``df``.
+
+    Operators that persist an upstream stage (minhash_dedup_pairs,
+    minhash_lsh_candidates) attach the cached DataFrames to the result as
+    ``_cached_deps``; call this AFTER the final action on the result so
+    long-lived sessions (repeated bench runs, notebooks) don't accumulate
+    executor storage until LRU eviction starts degrading other cached
+    data. Safe on any DataFrame (no-op when nothing was attached)."""
+    for dep in getattr(df, "_cached_deps", ()):  # noqa: B009 — plain attr
+        try:
+            dep.unpersist()
+        except Exception:
+            pass
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
     """Round-robin repartition when the scan produced too few partitions.
 
@@ -372,7 +388,7 @@ def minhash_lsh_candidates(
         banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -382,6 +398,9 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if persist:
+        out._cached_deps = (banded,)  # release_cached(out) after the action
+    return out
 
 
 def minhash_dedup_pairs(
@@ -430,7 +449,7 @@ def minhash_dedup_pairs(
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -441,6 +460,8 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._cached_deps = (sh,)  # release_cached(out) after the action
+    return out
 
 
 # ---------------------------------------------------------------------------

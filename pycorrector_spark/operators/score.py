@@ -48,6 +48,11 @@ class Artifacts:
         self.cfg = cfg
         self.en_index = en_index
         self.proper = proper  # optional ProperCorrector (detection stage 2)
+        # stable identity for the worker cache: survives any pyspark
+        # rename of Broadcast._path (the fallback key below)
+        import uuid
+
+        self.token = uuid.uuid4().hex
 
 
 def build_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
@@ -149,8 +154,13 @@ def _get_workers(bc):
     # key on the STABLE broadcast identity (its spill path on workers): the
     # Broadcast wrapper object is re-deserialized with every task closure,
     # so keying on python id() would rebuild the Corrector (and drop the
-    # spell-cache) once per task
-    key = getattr(bc, "_path", None) or id(bc)
+    # spell-cache) once per task. If a future pyspark renames _path, the
+    # fallback is the Artifacts' own uuid token — that costs one Artifacts
+    # unpickle per task (bc.value), but the expensive Corrector/spell-cache
+    # build still amortizes across tasks instead of silently regressing.
+    key = getattr(bc, "_path", None)
+    if key is None:
+        key = bc.value.token
     if key not in _WORKER_CACHE:
         art: Artifacts = bc.value
         zh, en = make_workers(art)
@@ -285,16 +295,19 @@ def make_score_stage(bc, input_fields):
     """Build (mapInPandas function, output schema DDL) for the one-pass
     stage: signals + gate + LM + detect/correct + scrub + decision.
 
-    ``input_fields``: list of (name, ddl_type) for the input columns (or a
-    pre-built DDL string for backward compatibility — discouraged, since
-    name recovery from DDL is fragile). Input columns colliding with
-    COMPUTED_COLS are excluded here — the stage recomputes and owns those —
-    so EVERY caller (batch pipeline, streaming, tests) gets a valid
-    duplicate-free output schema."""
+    ``input_fields``: list of (name, ddl_type) for the input columns.
+    (The old DDL-string form is rejected: recovering names by splitting on
+    ', ' silently mis-parses types that legitimately contain ', ' — e.g.
+    struct simpleStrings — into wrong (name, type) pairs.) Input columns
+    colliding with COMPUTED_COLS are excluded here — the stage recomputes
+    and owns those — so EVERY caller (batch pipeline, streaming, tests)
+    gets a valid duplicate-free output schema."""
     if isinstance(input_fields, str):
-        input_fields = [
-            (f.split()[0], f.split(None, 1)[1]) for f in input_fields.split(", ")
-        ]
+        raise TypeError(
+            "make_score_stage takes a list of (name, ddl_type) pairs; build "
+            "it from df.schema.fields — DDL-string parsing was removed as "
+            "unsound (types may contain ', ')"
+        )
     computed = set(COMPUTED_COLS)
     kept = [(n, t) for n, t in input_fields if n not in computed]
     dropped = [n for n, _ in input_fields if n in computed]

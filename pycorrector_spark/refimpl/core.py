@@ -18,8 +18,11 @@ choices so they agree with EACH OTHER exactly):
 1. The language model is our own order-3 backoff char LM
    (pycorrector_spark.lm) trained on the deterministic fixture corpus,
    not the pretrained KenLM binary.
-2. Word segmentation is forward-maximum-matching over the broadcast word
-   dict, not jieba search mode.
+2. Word segmentation replicates jieba's cut(HMM=False) max-probability
+   DAG route (textops.dag_max_prob_tokens) over the broadcast word dict —
+   the same dynamic program jieba runs, so the residual divergence is the
+   DICT CONTENT (jieba's 350k-entry dict.txt is not shipped), not the
+   algorithm. A greedy max-match fallback remains via segment_mode.
 3. The same-pinyin word set (reference corrector.py:152-161) filters
    against the embedded PINYIN_ZH dimension rather than pypinyin, so its
    char universe is the curated table, not the full 3,502-char common set.
@@ -45,6 +48,7 @@ import numpy as np
 
 from ..textops import (
     MultiPatternScanner,
+    dag_max_prob_tokens,
     is_cjk_string,
     is_filter_token,
     max_match_tokens,
@@ -91,6 +95,7 @@ class Detector:
         enable_char_error: bool = True,
         enable_word_error: bool = True,
         proper=None,
+        segment_mode: str = "dp",
     ):
         self.lm = lm
         self.word_freq = word_freq
@@ -102,7 +107,14 @@ class Detector:
         # optional ProperCorrector (refimpl/proper.py) — detection stage 2
         # (detector.py:419-424); None keeps the round-1 default behavior
         self.proper = proper
+        # "dp" = jieba cut(HMM=False) max-prob DAG replica (the reference's
+        # tokenizer given the same dict — divergence #2 narrowed to dict
+        # CONTENT); "max_match" = the round-1 greedy stand-in
+        if segment_mode not in ("dp", "max_match"):
+            raise ValueError(f"unknown segment_mode {segment_mode!r}")
+        self.segment_mode = segment_mode
         self._word_set = set(word_freq)
+        self._wf_total = sum(word_freq.values())  # O(dict) once, not per call
 
     # -- kenlm-equivalent helpers (detector.py:268-284) --
 
@@ -150,9 +162,15 @@ class Detector:
                 )
                 proper_details[(wrong, b)] = right
 
-        # 3. OOV words
+        # 3. OOV words (reference detector.py:427-438 iterates jieba
+        # search-mode tokens; in-dict sub-words are never OOV, so scanning
+        # the base segmentation flags the identical set)
         if self.enable_word_error:
-            for token, b, e in max_match_tokens(sentence, self._word_set):
+            if self.segment_mode == "dp":
+                tokens = dag_max_prob_tokens(sentence, self.word_freq, self._wf_total)
+            else:
+                tokens = max_match_tokens(sentence, self._word_set)
+            for token, b, e in tokens:
                 if is_filter_token(token):
                     continue
                 if token in self.word_freq:
@@ -446,13 +464,55 @@ DEFAULT_UNK_TOKENS = (" ", "“", "”", "‘", "’", "琊", "\n", "…", "擤"
 
 
 def get_errors(corrected_text: str, origin_text: str, unk_tokens=DEFAULT_UNK_TOKENS):
-    """Diff-based error extraction (reference utils/error_utils.py:10-37):
-    SequenceMatcher opcodes between origin and corrected text ->
-    (origin_segment, corrected_segment, pos) triples; segments touching an
-    unk token are skipped; deletes drop chars from the corrected side.
+    """Diff-based error extraction matching the reference contract
+    (utils/error_utils.py:10-37): returns
+    ``(new_corrected_text, errors)`` where errors are PER-CHAR
+    ``(origin_char, corrected_char, origin_pos)`` triples —
+    replace pairs chars positionally, delete emits (char, '', pos), insert
+    emits ('', char, corrected_pos) — and ``new_corrected_text`` is the
+    corrected text with deleted-only segments dropped. Chars in
+    ``unk_tokens`` are skipped per char (not per segment).
 
     Used by the DL-wrapper flow in the reference; here it labels scrub
     edits and arbitrary text rewrites (e.g. t2s, proper-noun splices)."""
+    import difflib
+
+    errors = []
+    unk = set(unk_tokens)
+    pieces = []
+    for tag, i1, i2, j1, j2 in difflib.SequenceMatcher(
+        None, origin_text, corrected_text
+    ).get_opcodes():
+        if tag == "equal":
+            pieces.append(origin_text[i1:i2])
+        elif tag == "replace":
+            for i, j in zip(range(i1, i2), range(j1, j2)):
+                if origin_text[i] not in unk and corrected_text[j] not in unk:
+                    errors.append((origin_text[i], corrected_text[j], i))
+                pieces.append(corrected_text[j])
+            # a longer corrected side keeps its tail chars (zip stops at
+            # the shorter range; the reference appends inside the zip, so
+            # replace-with-longer drops the tail there too — match it)
+        elif tag == "delete":
+            for i in range(i1, i2):
+                if origin_text[i] not in unk:
+                    errors.append((origin_text[i], "", i))
+            # deleted chars are not appended
+        elif tag == "insert":
+            for j in range(j1, j2):
+                if corrected_text[j] not in unk:
+                    errors.append(("", corrected_text[j], j))
+                pieces.append(corrected_text[j])
+    return "".join(pieces), sorted(errors, key=lambda t: t[2])
+
+
+def get_segment_errors(corrected_text: str, origin_text: str,
+                       unk_tokens=DEFAULT_UNK_TOKENS):
+    """Segment-level diff variant (round-1 behavior, kept under its own
+    name): (origin_segment, corrected_segment, pos) triples, whole
+    segments skipped when they touch an unk token. Coarser than the
+    reference's per-char get_errors; useful for labeling multi-char scrub
+    rewrites as single edits."""
     import difflib
 
     errors = []

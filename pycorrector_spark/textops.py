@@ -18,6 +18,7 @@ forms operating on pandas Series for Arrow-batched UDFs.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -180,6 +181,75 @@ def max_match_tokens(sentence: str, words: set, max_len: int = 8):
 # --------------------------------------------------------------------------
 # N-grams
 # --------------------------------------------------------------------------
+
+def dag_max_prob_tokens(sentence: str, word_freq: dict, total: int = None,
+                        max_word_len: int = 16):
+    """[(token, begin, end)] by the max-probability DAG route — the public
+    jieba ``cut(HMM=False)`` dynamic program (reference utils/tokenizer.py
+    delegates to jieba, absent in this sandbox): build the DAG of dict
+    words starting at each position, then choose the segmentation
+    maximizing sum(log(freq/total)) right-to-left; ties break toward the
+    LONGER word (jieba's max() over (score, end) tuples). Given the same
+    frequency dict this reproduces jieba's no-HMM segmentation exactly —
+    the residual divergence vs the reference is dict CONTENT (jieba's
+    350k-entry dict.txt is not shipped), which tests quantify against the
+    greedy max-match stand-in."""
+    import math as _math
+
+    n = len(sentence)
+    if n == 0:
+        return []
+    if total is None:
+        total = sum(word_freq.values())
+    log_total = _math.log(total or 1)
+    # DAG: ends[i] = candidate token END indexes (inclusive) starting at i
+    dag = []
+    for i in range(n):
+        ends = [i]  # a single char is always a segment candidate
+        upper = min(n, i + max_word_len)
+        for j in range(i + 2, upper + 1):
+            if sentence[i:j] in word_freq:
+                ends.append(j - 1)
+        dag.append(ends)
+    route = [(0.0, 0)] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        route[i] = max(
+            (
+                _math.log(word_freq.get(sentence[i: j + 1]) or 1) - log_total
+                + route[j + 1][0],
+                j,
+            )
+            for j in dag[i]
+        )
+    out = []
+    i = 0
+    while i < n:
+        j = route[i][1] + 1
+        out.append((sentence[i:j], i, j))
+        i = j
+    return out
+
+
+def search_mode_tokens(sentence: str, word_freq: dict, total: int = None):
+    """jieba search-mode token stream (``tokenize(..., 'search')``): the
+    base max-prob segmentation plus every in-dict 2-gram / 3-gram sub-word
+    of longer tokens, sub-words emitted before their parent token — the
+    stream the reference's OOV scan iterates (detector.py:427-438)."""
+    out = []
+    for w, b, e in dag_max_prob_tokens(sentence, word_freq, total):
+        if len(w) > 2:
+            for k in range(len(w) - 1):
+                g = w[k: k + 2]
+                if word_freq.get(g):
+                    out.append((g, b + k, b + k + 2))
+        if len(w) > 3:
+            for k in range(len(w) - 2):
+                g = w[k: k + 3]
+                if word_freq.get(g):
+                    out.append((g, b + k, b + k + 3))
+        out.append((w, b, e))
+    return out
+
 
 def char_ngrams(s: str, n: int):
     """All contiguous char n-grams of s (len(s)-n+1 of them)."""
@@ -444,41 +514,88 @@ def t2s_series(s: pd.Series) -> pd.Series:
     return s.fillna("").str.translate(_T2S_TRANS)
 
 
-def longest_match_rewrite(text: str, table: dict, max_len: int = None) -> str:
-    """Greedy longest-match dict rewrite (the langconv FSM semantics:
-    at each position try the longest key first, emit mapped value, advance
-    past the match; unmatched chars pass through).
+class LongestMatchRewriter:
+    """Prebuilt greedy longest-match dict rewriter (the langconv FSM
+    semantics: at each position try the longest key first, emit mapped
+    value, advance past the match; unmatched chars pass through).
 
-    `table` may mix 1-char and multi-char keys. O(n * max_key_len) with a
-    first-char index — fine inside an Arrow batch; for very large tables
-    build an Aho-Corasick matcher instead (textops.ACMatcher).
-    """
-    if not table:
-        return text
-    if max_len is None:
-        max_len = max(len(k) for k in table)
-    by_first = {}
-    for k in table:
-        by_first.setdefault(k[0], []).append(k)
-    for ks in by_first.values():
-        ks.sort(key=len, reverse=True)
-    out = []
-    i, n = 0, len(text)
-    while i < n:
-        keys = by_first.get(text[i])
-        if keys:
-            for k in keys:
-                if len(k) <= max_len and text.startswith(k, i):
-                    out.append(table[k])
-                    i += len(k)
-                    break
+    The first-char index is built ONCE — per executor after broadcast
+    unpickle — instead of per call; `table` may mix 1-char and multi-char
+    keys. O(n * max_key_len) per text."""
+
+    def __init__(self, table: dict):
+        self.table = dict(table)
+        self.by_first = {}
+        for k in self.table:
+            self.by_first.setdefault(k[0], []).append(k)
+        for ks in self.by_first.values():
+            ks.sort(key=len, reverse=True)
+
+    def __call__(self, text: str) -> str:
+        if not self.table or not text:
+            return text
+        out = []
+        i, n = 0, len(text)
+        by_first = self.by_first
+        table = self.table
+        while i < n:
+            keys = by_first.get(text[i])
+            if keys:
+                for k in keys:
+                    if text.startswith(k, i):
+                        out.append(table[k])
+                        i += len(k)
+                        break
+                else:
+                    out.append(text[i])
+                    i += 1
             else:
                 out.append(text[i])
                 i += 1
-        else:
-            out.append(text[i])
-            i += 1
-    return "".join(out)
+        return "".join(out)
+
+
+def longest_match_rewrite(text: str, table: dict, max_len: int = None) -> str:
+    """One-shot convenience wrapper around LongestMatchRewriter (prefer the
+    class when rewriting many texts — the index is built per call here)."""
+    return LongestMatchRewriter(table)(text)
+
+
+@functools.lru_cache(maxsize=None)
+def t2s_full_chars() -> tuple:
+    """(char_table dict, translate map) for the FULL traditional->simplified
+    single-char conversion: the embedded toy table merged with the public
+    zh_wiki zh2Hans single-char rows (~2.7k chars; dictio.load_zh_wiki).
+    Falls back to the embedded table alone when the file is absent."""
+    from .dictio import load_zh_wiki
+
+    table = dict(T2S_CHARS)
+    table.update(load_zh_wiki()["t2s_chars"])
+    return table, str.maketrans(table)
+
+
+@functools.lru_cache(maxsize=None)
+def t2s_full_rewriter() -> LongestMatchRewriter:
+    """Full t2s rewriter: multi-char zh_wiki phrases (longest-match first,
+    e.g. 印表機->打印机) layered over the full single-char table — the
+    reference langconv FSM behavior (utils/langconv.py + zh_wiki.py)."""
+    from .dictio import load_zh_wiki
+
+    w = load_zh_wiki()
+    table = dict(t2s_full_chars()[0])
+    table.update(w["t2s_phrases"])
+    return LongestMatchRewriter(table)
+
+
+def t2s_full(text: str) -> str:
+    """Traditional -> simplified with phrase awareness (full tables)."""
+    return t2s_full_rewriter()(text)
+
+
+def t2s_full_series(s: pd.Series) -> pd.Series:
+    """Vectorized full single-char t2s (phrase-free translate path — the
+    oracle-mirrorable projection; use t2s_full for phrase rewrites)."""
+    return s.fillna("").str.translate(t2s_full_chars()[1])
 
 
 def word_ngrams(tokens, mode: str = "12"):

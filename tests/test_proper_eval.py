@@ -99,13 +99,21 @@ def test_detector_proper_stage(artifacts):
     assert ("诸葛两", "诸葛亮", 7) in res["errors"]
 
 
-def test_get_errors_diff():
-    assert get_errors("兴高采烈去北京", "兴高彩列去北京") == [("彩列", "采烈", 2)]
-    assert get_errors("abc", "abc") == []
-    # unk tokens (whitespace) are excluded
-    assert get_errors("a bc", "abc") == []
-    # pure insert / delete segments are reported at the origin position
-    assert get_errors("ac", "abc") == [("b", "", 1)]
+def test_get_errors_reference_contract():
+    """Per-char triples + (new_corrected_text, errors) two-value return —
+    the reference error_utils.get_errors contract."""
+    from pycorrector_spark.refimpl.core import get_segment_errors
+
+    new_text, errs = get_errors("兴高采烈去北京", "兴高彩列去北京")
+    assert new_text == "兴高采烈去北京"
+    assert errs == [("彩", "采", 2), ("列", "烈", 3)]
+    assert get_errors("abc", "abc") == ("abc", [])
+    # unk tokens (space) skipped per char; insert of space not recorded
+    assert get_errors("a bc", "abc") == ("a bc", [])
+    # delete: origin char dropped from output, recorded with empty repl
+    assert get_errors("ac", "abc") == ("ac", [("b", "", 1)])
+    # segment-level variant keeps the round-1 coarser shape
+    assert get_segment_errors("兴高采烈去北京", "兴高彩列去北京") == [("彩列", "采烈", 2)]
 
 
 def test_t2s_s2t_roundtrip():
