@@ -102,9 +102,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # frozen query parameters shared by Spark queries and their oracles
 JACCARD_MAX_DF = 100      # shingle document-frequency cap (dedup_jaccard)
 LSH_TOPK_PLANES = 6       # ann_lsh_topk hyperplanes
-EMB_LSH_PLANES = 16       # dedup_embedding banded LSH: total sign bits
-EMB_LSH_BANDS = 4         # ... split into this many bands
+EMB_LSH_PLANES = 64       # dedup_embedding banded LSH: total sign bits
+EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
+                          # candidate join stays near-linear (4-bit bands
+                          # measured 8x slower at sf0.1 — 16 buckets/band
+                          # made every band bucket quadratic)
 EMB_DIM = 64              # embeddings.parquet vector width
+EMB_CLONES = 32           # scaled near-dup clones injected by dedup_embedding
 
 
 # ---------------------------------------------------------------------------
@@ -512,11 +516,24 @@ def q_dedup_embedding(spark, sf_dir):
     sign-LSH candidates + exact JVM-fold cosine verify — NO driver-side
     collect anywhere in the plan (the exact GEMM baseline stays available
     behind cosine_near_dup's size guard). The oracle reproduces the same
-    bands, candidates and cosines bit-for-bit."""
+    bands, candidates and cosines bit-for-bit.
+
+    The synthetic embeddings table contains no true near-duplicates (max
+    pairwise cosine ~0.51 — random directions), so the corpus is
+    augmented with EMB_CLONES deterministic scaled clones (x1.5 —
+    direction preserved, cosine 1.0; the scale factor is dyadic so both
+    engines compute identical doubles). A vacuous 0-row green would
+    otherwise prove nothing about recall; the clone pairs are what a
+    near-dup detector must find."""
     from pycorrector_spark.operators.similarity import cosine_near_dup_pairs_bucketed
 
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    clones = emb.filter(F.col("vec_id") < EMB_CLONES).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
     return cosine_near_dup_pairs_bucketed(
-        _emb(spark, sf_dir),
+        emb.unionByName(clones),
         threshold=0.4,
         n_planes=EMB_LSH_PLANES,
         bands=EMB_LSH_BANDS,
@@ -1228,21 +1245,30 @@ def _dedup_embedding_oracle_sql() -> str:
 
     planes = _hyperplanes(EMB_DIM, EMB_LSH_PLANES, seed=42)
     rpb = EMB_LSH_PLANES // EMB_LSH_BANDS
-    band_cols = ", ".join(
-        f"{_bucket_bits_sql('ev', planes, b * rpb, (b + 1) * rpb, EMB_DIM)} AS bb{b}"
+    # one row per (vec, band) with the band's bit key -> the candidate join
+    # is a plain equi-join on (band, key), hash-joinable like the Spark plan
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_bucket_bits_sql('ev', planes, b * rpb, (b + 1) * rpb, EMB_DIM)} AS key "
+        f"FROM c"
         for b in range(EMB_LSH_BANDS)
     )
-    band_match = " OR ".join(f"a.bb{b} = b.bb{b}" for b in range(EMB_LSH_BANDS))
     dot = _fold_dot_sql("va.ev", "vb.ev", EMB_DIM)
     nrm = f"sqrt({_fold_dot_sql('{0}.ev', '{0}.ev', EMB_DIM)})"
     return f"""
-        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {band_cols}
-                   FROM embeddings),
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(embedding::DOUBLE[], x -> x * 1.5) AS ev
+          FROM embeddings WHERE vec_id < {EMB_CLONES}),
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
         nz AS (SELECT vec_id, ev FROM c
                WHERE sqrt({_fold_dot_sql('ev', 'ev', EMB_DIM)}) > 0),
-        cand AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM c a JOIN c b ON a.vec_id < b.vec_id AND ({band_match})),
         verified AS (
           SELECT cand.id_a, cand.id_b,
                  {dot} / ({nrm.format('va')} * {nrm.format('vb')}) AS cos_raw

@@ -63,12 +63,16 @@ def bench_queries():
         "qf_lm_ppl": q["qf_lm_ppl"],
         "tok_counts": q["tok_counts"],
         "dedup_exact": q["dedup_exact"],
+        "dedup_jaccard": q["dedup_jaccard"],
         "dedup_minhash": minhash_bench,
         "dedup_simhash": q["dedup_simhash"],
         "dedup_embedding": q["dedup_embedding"],
         "ann_cosine_topk": q["ann_cosine_topk"],
+        "ann_lsh_topk": q["ann_lsh_topk"],
         "ann_ivf_topk": q["ann_ivf_topk"],
         "en_spell": q["en_spell"],
+        "zh_correct_full": q["zh_correct_full"],
+        "zh_t2s": q["zh_t2s"],
         "rel_pricing_summary": q["rel_pricing_summary"],
         "rel_top_nations": q["rel_top_nations"],
         "rel_sessionize": q["rel_sessionize"],

@@ -305,3 +305,86 @@ def test_minhash_banding_config_validated(spark):
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with pytest.raises(ValueError):
         minhash_dedup_pairs(docs, num_perm=64, bands=10).count()
+
+
+def test_ivf_build_probe_prunes_and_matches_ivf_topk(spark, tmp_path):
+    """The stored-index path: build writes cell-partitioned parquet, probe
+    reads ONLY the nprobe cell directories (plan shows a cell filter /
+    partition pruning) and returns the same neighbors as the in-flight
+    ivf_topk for identical centroids/nprobe."""
+    import numpy as np
+    import pandas as pd
+
+    from pycorrector_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 12)) * 8
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((30, 12)) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qpdf = pd.DataFrame(
+        {"vec_id": [0, 35], "embedding": [list(vecs[0]), list(vecs[35])]}
+    )
+    cents = kmeans_centroids(vecs, k=4)
+
+    path = str(tmp_path / "ivf")
+    ivf_build(df, cents, path)
+    # one directory per cell on disk (physical partition pruning substrate)
+    import os
+
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cell_dirs) == 4
+
+    probed = ivf_probe(spark, path, qpdf, cents, k=3, nprobe=2)
+    inflight = ivf_topk(df, qpdf, cents, k=3, nprobe=2).collect()
+    stored = probed.collect()
+    key = lambda rs: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rs}
+    assert key(stored) == key(inflight)
+
+    # pruning is real: reading with the same cell filter touches only the
+    # probed subset of rows
+    from pyspark.sql import functions as F
+
+    d = ((cents ** 2).sum(axis=1)[None, :]) - 2.0 * (
+        np.stack(qpdf["embedding"].apply(np.asarray).values) @ cents.T
+    )
+    probe_cells = sorted(
+        {int(c) for row in np.argsort(d, axis=1)[:, :2] for c in row}
+    )
+    pruned_rows = (
+        spark.read.parquet(path).filter(F.col("cell").isin(probe_cells)).count()
+    )
+    assert pruned_rows < len(vecs)
+
+
+def test_jaccard_max_df_caps_hot_shingle_blowup(spark):
+    """Skew guard: one boilerplate sentence duplicated across many docs
+    makes every doc share its shingles — uncapped, the inverted-index
+    self-join goes quadratic in the duplicate count. With max_df below the
+    duplicate count the boilerplate shingles are dropped BEFORE the join:
+    the boilerplate-only docs produce no pairs, while genuinely-similar
+    docs (whose distinguishing shingles are rare) still pair up."""
+    from pycorrector_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact the site admin for details"
+    rows = [(i, boiler) for i in range(200)]
+    # two near-dup docs sharing rare shingles
+    rows.append((1000, "rare alpha beta gamma delta epsilon"))
+    rows.append((1001, "rare alpha beta gamma delta zeta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, k=2, threshold=0.3, max_df=50).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 200 identical boilerplate docs contribute ZERO pairs (their
+    # shingles all have df=200 > 50) instead of C(200,2)=19900
+    assert pairs == {(1000, 1001)}
+
+    # uncapped control on a small slice: boilerplate docs DO pair
+    small = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(small, k=2, threshold=0.3).collect()
+    assert len(uncapped) == 10  # C(5,2)
