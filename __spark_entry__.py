@@ -414,7 +414,6 @@ def q_ann_ivf(spark, sf_dir):
     coarse quantizer on a deterministic sample, corpus written partitioned
     by cell, probe reads ONLY the nprobe cell directories (partition
     pruning — the scan never touches the full corpus)."""
-    import os
     import tempfile
 
     import numpy as np
@@ -429,8 +428,9 @@ def q_ann_ivf(spark, sf_dir):
     sample = emb.filter(F.col("vec_id") < 2000).select("vec_id", "embedding").toPandas()
     vecs = np.stack(sample["embedding"].apply(np.asarray).values)
     cents = kmeans_centroids(vecs, k=8)
-    path = os.path.join(tempfile.gettempdir(), "pycorrector_spark_ivf",
-                        os.path.basename(os.path.normpath(sf_dir)))
+    # unique dir per call: a fixed shared path would let a concurrent
+    # run's overwrite delete files under another run's in-flight scan
+    path = tempfile.mkdtemp(prefix="pycorrector_spark_ivf_")
     ivf_build(emb, cents, path)
     queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
     return ivf_probe(spark, path, queries_pdf, cents, k=5, nprobe=3)
@@ -547,13 +547,21 @@ def q_zh_t2s(spark, sf_dir):
     is a translate() generated from the same merged table."""
     import pandas as pd
     from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import t2s_full_chars
+
+    # table loaded DRIVER-side and broadcast (dictio invariant): executors
+    # may not have the zh_wiki source file, and a worker-side load would
+    # silently fall back to the toy table and diverge from the oracle
+    bc = spark.sparkContext.broadcast(t2s_full_chars()[0])
 
     def fn(it):
-        from pycorrector_spark.textops import t2s_full_series
-
+        table = str.maketrans(bc.value)
         for pdf in it:
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simp_text": t2s_full_series(pdf["text"])}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simp_text": pdf["text"].fillna("").str.translate(table),
+                }
             )
 
     return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
@@ -570,15 +578,19 @@ def q_zh_t2s_phrase(spark, sf_dir):
     import pandas as pd
     from pycorrector_spark.fixtures import ZHT_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import t2s_full_rewriter
+
+    # rewriter built DRIVER-side (loads zh_wiki once) and broadcast — the
+    # prebuilt first-char index pickles as plain dicts
+    bc = spark.sparkContext.broadcast(t2s_full_rewriter())
 
     def fn(it):
-        from pycorrector_spark.textops import t2s_full
-
+        rw = bc.value
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "simp_text": [t2s_full(t) for t in pdf["text"]],
+                    "simp_text": [rw(t) for t in pdf["text"]],
                 }
             )
 

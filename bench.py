@@ -149,15 +149,23 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
     # warm-up: JVM codegen + the 32-process Python worker pool + broadcast
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    from pycorrector_spark.operators.dedup import release_cached
+
     timings = {}
     for name, fn in qs.items():
         # per-query warm-up so one-time setup (driver-side artifact build,
         # codegen, worker spin-up) never lands inside the timed run —
         # every reported number is steady-state
-        _materialize(fn(spark, sf_dir))
+        warm = fn(spark, sf_dir)
+        _materialize(warm)
+        release_cached(warm)
         t0 = time.time()
-        _materialize(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        _materialize(df)
         timings[name] = round(time.time() - t0, 3)
+        # drop operator-persisted intermediates so repeated suites in one
+        # session don't accumulate executor storage (no-op for most queries)
+        release_cached(df)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()

@@ -65,10 +65,11 @@ def load_word_freq_dict(path: str) -> dict:
 
 
 def load_confusion_dict(path: str, word_freq: dict | None = None) -> dict:
-    """`variant truth [freq]` -> {variant: truth}; when a freq column is
-    present the truth word is also registered into ``word_freq`` (side
-    effect matching detector.py:183-208, where custom confusions feed the
-    OOV dict)."""
+    """`variant truth [freq]` -> {variant: truth}. Every accepted row ALSO
+    registers the truth word into ``word_freq`` (freq column value, or 1
+    when absent) — the reference's side effect (detector.py:183-208,
+    custom confusions feed the OOV dict) applies unconditionally, not
+    only when a freq column exists."""
     out = {}
     if not path or not os.path.exists(path):
         return out

@@ -268,7 +268,20 @@ def stddev_outlier_indices(scores: np.ndarray, n_sigma: float = 2.0):
 
 
 def _id_to_token(lm: CharNgramLM):
-    rev = {i: ("<sp>" if c == " " else c) for c, i in lm.vocab.items()}
+    rev = {}
+    for c, i in lm.vocab.items():
+        if c == " ":
+            rev[i] = "<sp>"  # space is the ARPA token separator
+        elif c in ("\t", "\n", "\r"):
+            # tab is the ARPA field separator and newline the record
+            # separator — a vocab containing them cannot serialize to a
+            # well-formed file; fail loudly instead of corrupting it
+            raise ValueError(
+                f"vocabulary char {c!r} is not representable in ARPA text; "
+                "strip control whitespace from the training corpus first"
+            )
+        else:
+            rev[i] = c
     rev[0] = "<unk>"
     rev[1] = "<s>"
     rev[2] = "</s>"

@@ -38,7 +38,12 @@ def release_cached(df: DataFrame) -> None:
     ``_cached_deps``; call this AFTER the final action on the result so
     long-lived sessions (repeated bench runs, notebooks) don't accumulate
     executor storage until LRU eviction starts degrading other cached
-    data. Safe on any DataFrame (no-op when nothing was attached)."""
+    data. Safe on any DataFrame (no-op when nothing was attached).
+
+    NOTE: ``_cached_deps`` rides on the EXACT DataFrame object the
+    operator returned — derived frames (.select/.filter/...) are new
+    objects without the attribute, so release through the original
+    handle (bench.py's run_suite does)."""
     for dep in getattr(df, "_cached_deps", ()):  # noqa: B009 — plain attr
         try:
             dep.unpersist()
@@ -478,7 +483,13 @@ def simhash64(
     in the DuckDB oracle (`('0x'||substr(md5(w),1,16))::UBIGINT`), so the
     whole operator is SQL-verifiable over the real corpus. Cost parity:
     the per-worker memo cache absorbs both hashes identically.
-    Docs with no words hash to 0."""
+    Docs with no words hash to 0.
+
+    Oracle caveat: parity assumes Python str.lower() and DuckDB lower()
+    agree on the corpus — true for ASCII/CJK, but a handful of Unicode
+    case-folding specials (e.g. U+0130 'İ') lowercase differently across
+    the two engines and would flip word hashes; the operator itself is
+    correct either way, only the cross-engine check is affected."""
 
     def fn(it):
         bit_idx = np.arange(64, dtype=np.uint64)

@@ -481,8 +481,12 @@ def cosine_near_dup(
     **lsh_kwargs,
 ) -> DataFrame:
     """Size-guarded dispatcher: exact GEMM all-pairs while the corpus fits
-    the broadcast envelope, banded-LSH candidates + exact verify beyond it."""
-    n = df.count()
+    the broadcast envelope, banded-LSH candidates + exact verify beyond it.
+
+    The size probe scans at most exact_limit+1 rows (limit + count), not
+    the full corpus — a plain count() would materialize the whole upstream
+    lineage once just to pick a code path."""
+    n = df.limit(exact_limit + 1).count()
     if n <= exact_limit:
         return cosine_near_dup_pairs(df, id_col, vec_col, threshold)
     return cosine_near_dup_pairs_bucketed(df, id_col, vec_col, threshold, **lsh_kwargs)

@@ -208,7 +208,10 @@ def dag_max_prob_tokens(sentence: str, word_freq: dict, total: int = None,
         ends = [i]  # a single char is always a segment candidate
         upper = min(n, i + max_word_len)
         for j in range(i + 2, upper + 1):
-            if sentence[i:j] in word_freq:
+            # jieba's get_DAG adds an edge only for freq > 0 entries
+            # (zero-frequency rows exist in the dict format purely as
+            # prefix markers and must not become segment candidates)
+            if word_freq.get(sentence[i:j]):
                 ends.append(j - 1)
         dag.append(ends)
     route = [(0.0, 0)] * (n + 1)
@@ -557,7 +560,10 @@ class LongestMatchRewriter:
 
 def longest_match_rewrite(text: str, table: dict, max_len: int = None) -> str:
     """One-shot convenience wrapper around LongestMatchRewriter (prefer the
-    class when rewriting many texts — the index is built per call here)."""
+    class when rewriting many texts — the index is built per call here).
+    ``max_len`` restricts matching to keys of at most that length."""
+    if max_len is not None:
+        table = {k: v for k, v in table.items() if len(k) <= max_len}
     return LongestMatchRewriter(table)(text)
 
 

@@ -101,7 +101,7 @@ def test_full_dims_reference_scale():
     assert len(dims["place_names"]) > 40000
     assert len(dims["en_word_freq"]) > 29000
     # spot values
-    assert "的" in dims["common_chars"] or len(dims["common_chars"]) > 0
+    assert "的" in dims["common_chars"]
     assert dims["stroke_codes"]["一"] == "h"
 
 
