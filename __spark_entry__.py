@@ -110,6 +110,9 @@ EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
 EMB_DIM = 64              # embeddings.parquet vector width
 EMB_CLONES = 32           # scaled near-dup clones injected by dedup_embedding
 
+# IVF index dirs created by q_ann_ivf in this process (reaped on next call)
+_IVF_DIRS: set = set()
+
 
 # ---------------------------------------------------------------------------
 # frozen SQL fragments shared by several oracles (DuckDB dialect)
@@ -428,9 +431,17 @@ def q_ann_ivf(spark, sf_dir):
     sample = emb.filter(F.col("vec_id") < 2000).select("vec_id", "embedding").toPandas()
     vecs = np.stack(sample["embedding"].apply(np.asarray).values)
     cents = kmeans_centroids(vecs, k=8)
-    # unique dir per call: a fixed shared path would let a concurrent
-    # run's overwrite delete files under another run's in-flight scan
+    # unique dir per call (a fixed shared path would let a concurrent
+    # run's overwrite delete files under another run's in-flight scan);
+    # dirs from PRIOR calls in this process are reaped here so repeated
+    # bench/checker loops keep at most one live index copy on disk
+    import shutil
+
+    for old in list(_IVF_DIRS):
+        shutil.rmtree(old, ignore_errors=True)
+        _IVF_DIRS.discard(old)
     path = tempfile.mkdtemp(prefix="pycorrector_spark_ivf_")
+    _IVF_DIRS.add(path)
     ivf_build(emb, cents, path)
     queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
     return ivf_probe(spark, path, queries_pdf, cents, k=5, nprobe=3)
@@ -877,6 +888,10 @@ def q_rel_top_nations(spark, sf_dir):
 
 
 def q_rel_events_daily(spark, sf_dir):
+    # date_trunc buckets in the SESSION timezone; the DuckDB oracle
+    # truncates the naive/UTC value — pin UTC so a harness session built
+    # with a host-local timezone can't shift events across day boundaries
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _tbl(spark, sf_dir, "events")
     return (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
@@ -1011,6 +1026,12 @@ def _pool_oracle_sql(pool_len: int, cols: list, rows: list) -> str:
         f"JOIN (VALUES {values}) p(pool_idx, {', '.join(cols)}) "
         f"ON d.doc_id % {pool_len} = p.pool_idx"
     )
+
+
+def _cfg():
+    from pycorrector_spark.config import DEFAULT_CONFIG
+
+    return DEFAULT_CONFIG
 
 
 @functools.lru_cache(maxsize=None)
@@ -1343,7 +1364,7 @@ def _zh_t2s_phrase_oracle_sql() -> str:
 def _homophones_oracle_sql() -> str:
     from pycorrector_spark.dicts import PINYIN_ZH
 
-    values = ", ".join(f"('{k}', '{v}')" for k, v in PINYIN_ZH.items())
+    values = ", ".join(f"({_sq(k)}, {_sq(v)})" for k, v in PINYIN_ZH.items())
     return f"""
         WITH p(ch, py) AS (VALUES {values}),
         g AS (SELECT py, array_to_string(list_sort(list(DISTINCT ch)), ',') AS homophones
@@ -1360,16 +1381,16 @@ def oracle_sql() -> dict[str, str]:
         "qf_langid": _SIGNALS_CTE + """
             SELECT doc_id, lang_id, lang_conf FROM sig2
         """,
-        "qf_keep_cheap": _SIGNALS_CTE + """
+        "qf_keep_cheap": _SIGNALS_CTE + f"""
             SELECT doc_id,
                    reason = '' AS keep_cheap,
                    reason AS drop_reason
             FROM (
               SELECT doc_id,
                      CASE WHEN NOT len_ok THEN 'len'
-                          WHEN symbol_ratio > 0.3 THEN 'symbol'
-                          WHEN rep_ratio > 0.6 THEN 'repetition'
-                          WHEN lang_id NOT IN ('zh','en') THEN 'lang'
+                          WHEN symbol_ratio > {_dlit(_cfg().max_symbol_ratio)} THEN 'symbol'
+                          WHEN rep_ratio > {_dlit(_cfg().max_rep_ratio)} THEN 'repetition'
+                          WHEN lang_id NOT IN ({', '.join(_sq(x) for x in _cfg().allowed_langs)}) THEN 'lang'
                           ELSE '' END AS reason
               FROM sig2)
         """,

@@ -129,12 +129,23 @@ class ProperCorrector:
                     (ln, pos, fuzzy_pinyin(self._pinyin(ch))), set()
                 ).add(name)
                 self.index_stroke.setdefault((ln, pos, self._stroke(ch)), set()).add(name)
-        # memo caches (proper_corrector.py:77-78, 88-101) — plain dicts,
-        # rebuilt per executor after broadcast unpickle; bounded so a
-        # unique-n-gram stream cannot grow worker memory without limit
-        # (same guard as EnSpellCorrector._CACHE_MAX)
+        # memo caches (proper_corrector.py:77-78, 88-101) — plain dicts;
+        # bounded so a unique-n-gram stream cannot grow worker memory
+        # without limit (same guard as EnSpellCorrector._CACHE_MAX).
+        # NOTE: a broadcast ships whatever is in the caches at pickle
+        # time (driver-side oracle precompute may have warmed them) —
+        # harmless because every memoized value is a deterministic pure
+        # function of the dims; keep it that way
         self._sim_cache = {}
         self._sim_cache_max = 200_000
+        # candidate-recall memo: the same char n-grams recur across a web
+        # corpus (profiled: vote counting over the positional buckets is
+        # ~60% of cold correct() time at 58k names). Entries are name
+        # LISTS (~92 avg / 411 max at 58k names), ~100x the footprint of
+        # a sim-cache float, so the cap is 10x tighter — ~20k lists stay
+        # in the tens of MB per worker instead of ~160 MB at the cap
+        self._cand_cache = {}
+        self._cand_cache_max = 20_000
 
     def _pinyin(self, ch: str) -> str:
         return pinyin_of(ch, self._pinyin_table)
@@ -146,7 +157,10 @@ class ProperCorrector:
 
     def get_candidate_names(self, word: str):
         """Names of the same length matching >= len-1 positions under any
-        key family, sorted by votes desc then name."""
+        key family, sorted by votes desc then name. Memoized per word."""
+        hit = self._cand_cache.get(word)
+        if hit is not None:
+            return hit
         ln = len(word)
         votes = {}
         for pos, ch in enumerate(word):
@@ -159,7 +173,10 @@ class ProperCorrector:
         min_votes = max(ln - 1, 1)
         cands = [(n, v) for n, v in votes.items() if v >= min_votes]
         cands.sort(key=lambda kv: (-kv[1], kv[0]))
-        return [n for n, _ in cands]
+        out = [n for n, _ in cands]
+        if len(self._cand_cache) < self._cand_cache_max:
+            self._cand_cache[word] = out
+        return out
 
     # -- scoring (proper_corrector.py:103-238) --
 
