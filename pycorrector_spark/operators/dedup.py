@@ -49,6 +49,14 @@ def release_cached(df: DataFrame) -> None:
             dep.unpersist()
         except Exception:
             pass
+    # broadcasts pinned by an operator (e.g. cosine_near_dup_pairs' corpus
+    # matrix) are released the same way
+    for bc in getattr(df, "_cached_broadcasts", ()):
+        try:
+            bc.unpersist()
+            bc.destroy()
+        except Exception:
+            pass
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int = None) -> DataFrame:
@@ -528,7 +536,14 @@ def simhash_near_pairs(
     sim_df: DataFrame, id_col: str = "doc_id", max_distance: int = 3
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_distance via 4x16-bit pigeonhole
-    banding (any pair within distance 3 shares at least one 16-bit band)."""
+    banding (any pair within distance 3 shares at least one 16-bit band).
+
+    Rows with the word-less sentinel hash 0 are excluded BEFORE banding:
+    every empty/whitespace-only doc hashes to 0, so a web corpus with n
+    such docs would otherwise share all four band buckets and blow the
+    self-join up to n^2/2 false 'near-dup' pairs (the same degenerate-row
+    guard minhash_signatures applies by dropping shingle-less docs)."""
+    sim_df = sim_df.filter(F.col("simhash") != 0)
     parts = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))

@@ -94,6 +94,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.integers(-512, 513, size=(n_planes, dim)).astype(np.float64) / 1024.0
 
 
+def _valid_rows(pdf: pd.DataFrame, vec_col: str) -> pd.DataFrame:
+    """Drop NULL-embedding rows — every numpy kernel below np.stack()s the
+    column, and a single None row turns the stack into a ragged object
+    array that crashes the whole task. NULL vectors are admissible input
+    (the dim probes already skip them); they simply can't participate."""
+    if not len(pdf):
+        return pdf
+    mask = pdf[vec_col].map(lambda v: v is not None)
+    return pdf[mask] if not mask.all() else pdf
+
+
+def _empty_result(spark, schema: str) -> "DataFrame":
+    return spark.createDataFrame([], schema)
+
+
 def _leftfold_dots(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """(n_rows, n_planes) dot products accumulated dimension-by-dimension —
     a strict left fold per element, bit-identical to DuckDB
@@ -130,6 +145,7 @@ def with_lsh_bucket(
 
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
@@ -158,7 +174,12 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, ranked by cosine."""
     first = corpus.select(F.size(vec_col)).filter(F.col(vec_col).isNotNull()).first()
-    dim = first[0] if first is not None else None
+    if first is None or first[0] is None or first[0] <= 0:
+        raise ValueError(
+            "cannot infer embedding dim (empty corpus or empty vectors); "
+            "dim=0 would silently degenerate every bucket to 0"
+        )
+    dim = first[0]
     cb = with_lsh_bucket(
         corpus.select(id_col, vec_col), vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(
@@ -222,6 +243,9 @@ def ivf_assign(
 
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
+            if not len(pdf):
+                continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
             # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
             d = c_norm2[None, :] - 2.0 * (mat @ cb.T)
@@ -252,6 +276,12 @@ def ivf_topk(
     scan inside surviving cells is the same GEMM partial top-k as
     matmul_topk."""
     cb = np.asarray(centroids, dtype=np.float64)
+    queries_pdf = _valid_rows(queries_pdf, vec_col)
+    if not len(queries_pdf):
+        return _empty_result(
+            corpus.sparkSession,
+            "query_id long, neighbor_id long, cosine double, rank int",
+        )
     qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
     qids = queries_pdf[id_col].to_numpy()
     d = ((cb ** 2).sum(axis=1)[None, :]) - 2.0 * (qmat @ cb.T)
@@ -273,6 +303,7 @@ def ivf_topk(
     # partition-pruning filter and this function's assign step is skipped.)
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
@@ -329,7 +360,9 @@ def cosine_near_dup_pairs(
     minhash_dedup_pairs (with_lsh_bucket buckets for recall + exact
     cosine on candidates only).
     """
-    vecs_pdf = df.select(id_col, vec_col).toPandas()
+    vecs_pdf = _valid_rows(df.select(id_col, vec_col).toPandas(), vec_col)
+    if not len(vecs_pdf):
+        return _empty_result(df.sparkSession, "id_a long, id_b long, cosine double")
     mat = np.stack(vecs_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     keep = norms > 0
@@ -340,6 +373,7 @@ def cosine_near_dup_pairs(
     def fn(it):
         ids_full, m_full = bc.value
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             block = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
@@ -394,6 +428,7 @@ def with_lsh_bands(
 
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
@@ -526,6 +561,11 @@ def ivf_probe(
     nearest cells (partition-pruned read), GEMM partial top-k per batch
     using the STORED cell column, then a tiny global top-k reduce."""
     cb = np.asarray(centroids, dtype=np.float64)
+    queries_pdf = _valid_rows(queries_pdf, vec_col)
+    if not len(queries_pdf):
+        return _empty_result(
+            spark, "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
     qids = queries_pdf[id_col].to_numpy()
     d = ((cb ** 2).sum(axis=1)[None, :]) - 2.0 * (qmat @ cb.T)
@@ -541,6 +581,7 @@ def ivf_probe(
 
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)
@@ -580,6 +621,12 @@ def matmul_topk(
     """Throughput path: queries as a plain pandas frame captured in the UDF
     closure (broadcast by Spark's task serialization), GEMM per partition,
     local top-k, then a tiny global top-k reduce."""
+    queries_pdf = _valid_rows(queries_pdf, vec_col)
+    if not len(queries_pdf):
+        return _empty_result(
+            corpus.sparkSession,
+            "query_id long, neighbor_id long, cosine double, rank int",
+        )
     qids = queries_pdf[id_col].to_numpy()
     qmat = np.stack(queries_pdf[vec_col].apply(np.asarray).values).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -587,6 +634,7 @@ def matmul_topk(
 
     def fn(it):
         for pdf in it:
+            pdf = _valid_rows(pdf, vec_col)
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].apply(np.asarray).values).astype(np.float64)

@@ -272,11 +272,13 @@ class MultiPatternScanner:
     """Find all (possibly overlapping) occurrences of a set of patterns.
 
     Matches the observable behavior of ``ahocorasick.Automaton.iter``:
-    every occurrence of every pattern is reported, ordered by end index
-    (then by pattern length so longer patterns at the same end come later,
-    mirroring trie output order closely enough for deterministic use —
-    the reference consumes matches into an order-insensitive containment
-    check, detector.py:303-328).
+    every occurrence of every pattern is reported, ordered by end index,
+    and at the SAME end index longest-first (the automaton reports the
+    deepest trie node before walking its suffix links). The order is
+    load-bearing: the reference's containment dedup
+    (detector.py:303-328) suppresses a shorter error only if a longer
+    error containing it was added EARLIER, so shorter-first order would
+    keep both and make Corrector.correct() splice the same span twice.
     """
 
     def __init__(self, patterns):
@@ -302,7 +304,7 @@ class MultiPatternScanner:
                 lp = len(p)
                 if i + lp <= n and text[i: i + lp] == p:
                     hits.append((i + lp - 1, p))
-        hits.sort(key=lambda t: (t[0], len(t[1])))
+        hits.sort(key=lambda t: (t[0], -len(t[1])))
         return hits
 
 

@@ -388,3 +388,49 @@ def test_jaccard_max_df_caps_hot_shingle_blowup(spark):
     small = spark.createDataFrame(rows[:5], "doc_id long, text string")
     uncapped = ngram_jaccard_pairs(small, k=2, threshold=0.3).collect()
     assert len(uncapped) == 10  # C(5,2)
+
+
+def test_similarity_kernels_survive_null_and_empty_inputs(spark):
+    """NULL embedding rows are dropped by every numpy kernel (a single
+    None row otherwise turns np.stack into a ragged-array crash), and
+    empty corpora/query sets return empty results instead of raising."""
+    import pandas as pd
+
+    from pycorrector_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_bucketed,
+        matmul_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cosine_near_dup_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    pairs_b = cosine_near_dup_pairs_bucketed(df, threshold=0.9, n_planes=8, bands=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs_b} == {(0, 1)}
+
+    qpdf = pd.DataFrame({"vec_id": [0, 9], "embedding": [[1.0, 0.0, 0.0, 0.0], None]})
+    top = matmul_topk(df, qpdf, k=2).collect()
+    assert all(r["query_id"] == 0 for r in top)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_near_dup_pairs(empty).collect() == []
+    assert matmul_topk(df, qpdf.iloc[:0], k=2).collect() == []
+
+
+def test_simhash_near_pairs_excludes_wordless_sentinel(spark):
+    """Empty/whitespace docs all hash to 0; they must not pairwise match
+    (n^2 false positives on a web corpus full of blank rows)."""
+    from pycorrector_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    rows = [(i, "   ") for i in range(10)] + [
+        (100, "real text body one"), (101, "real text body one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(simhash64(df)).collect()}
+    assert pairs == {(100, 101)}

@@ -277,3 +277,46 @@ def test_dp_vs_max_match_divergence_quantified():
     # the two agree on most tokens over this dict; assert a floor so a
     # regression in either tokenizer is caught
     assert rate > 0.75, rate
+
+
+def test_scanner_same_end_longest_first_prevents_double_splice():
+    """Regression: at the same end index the scanner must report the
+    LONGEST pattern first (pyahocorasick suffix-link order) — the
+    containment dedup only suppresses a shorter error if the longer one
+    arrived earlier, and shorter-first order made Corrector.correct()
+    splice the same span twice."""
+    from pycorrector_spark.textops import MultiPatternScanner
+
+    sc = MultiPatternScanner(["曰镜", "镜"])
+    assert sc.iter_matches("曰镜") == [(1, "曰镜"), (1, "镜")]
+
+
+def test_overlapping_confusion_patterns():
+    """Two distinct overlap semantics, both reference-faithful:
+
+    - ConfusionCorrector (C4, confusion_corrector.py:58-71) splices EVERY
+      match in report order — later (shorter, suffix-link) matches
+      overwrite earlier ones, so 曰镜->眼镜 then 镜->境 yields 眼境.
+    - Detector/Corrector (detector.py:303-328) run matches through the
+      containment dedup, where the longest-first report order suppresses
+      the contained match — only 曰镜 is detected and corrected once.
+    """
+    from pycorrector_spark.operators.score import build_artifacts
+    from pycorrector_spark.refimpl.core import ConfusionCorrector, Corrector
+
+    cc = ConfusionCorrector({"曰镜": "眼镜", "镜": "境"})
+    assert cc.correct("戴上曰镜")["target"] == "戴上眼境"
+
+    art = build_artifacts()
+    zh = Corrector(
+        lm=art.lm,
+        word_freq=art.word_freq,
+        confusion_dict={"曰镜": "眼镜", "镜": "境"},
+        stopwords=art.stopwords,
+        similar_chars={},
+        enable_char_error=False,
+        enable_word_error=False,
+    )
+    res = zh.correct("曰镜")
+    assert res["target"] == "眼镜"                      # spliced exactly once
+    assert [w for w, _, _ in res["errors"]] == ["曰镜"]  # contained 镜 suppressed
