@@ -58,17 +58,27 @@ def main(argv=None) -> None:
 
     if args.format == "text":
         scored = run_quality_pipeline(spark, docs)
-        # S2: TSV sink (url, keep, scrubbed text)
+        # S2: plain TSV sink (url, keep, scrubbed text) — quoting disabled
+        # (the empty quote option maps to the NUL quote char in the CSV
+        # writer) so a document containing double quotes is emitted raw,
+        # like the reference CLI, instead of univocity-quoted text a
+        # naive split('\t') consumer would mis-read
         scored.select(
             "url",
             F.col("keep").cast("string"),
             F.coalesce("scrubbed_text", F.lit("")),
-        ).write.mode("overwrite").csv(args.output, sep="\t")
+        ).write.mode("overwrite").option("quote", "").csv(args.output, sep="\t")
     elif args.no_resume:
-        scored = run_quality_pipeline(spark, docs)
+        # same sinks as the resume path (docs_out + audit — the audit
+        # table is part of the output contract either way); --no-resume
+        # only changes append-with-anti-join to a clean overwrite
+        from .pipeline import audit_frame
+
+        scored = run_quality_pipeline(spark, docs).localCheckpoint(eager=True)
         scored.drop("errors", "corrections").write.mode("overwrite").parquet(
             f"{args.output}/docs_out"
         )
+        audit_frame(scored).write.mode("overwrite").parquet(f"{args.output}/audit")
     else:
         run_with_resume(spark, docs, args.output)
 

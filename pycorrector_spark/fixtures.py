@@ -67,8 +67,11 @@ _CORRUPT_CONFUSION = [
     ("人工智能", "人工只能"),
     ("权力的游戏", "权利的游戏"),
 ]
-# similar-char swaps (clean char -> wrong char); wrong char absent from the
-# clean corpus so the LM flags it and the similar-char table recovers it
+# similar-char swaps (clean char -> wrong char). For 净/笑/心 the wrong
+# char is absent from the clean corpus, so the LM outlier stage flags it;
+# 明/鱼/在 DO occur elsewhere in the corpus (in-vocab), so those
+# corruptions exercise the word/ngram-context stages instead of the pure
+# OOV path — both flag routes are covered on purpose
 _CORRUPT_SIMCHAR = [
     ("平静", "平净"),
     ("有名", "有明"),

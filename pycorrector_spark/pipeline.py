@@ -30,18 +30,47 @@ from .config import DEFAULT_CONFIG, PipelineConfig
 from .operators.score import build_artifacts, make_score_stage
 
 
-def repartition_by_url(df: DataFrame, n: int, salt_buckets: int = 0) -> DataFrame:
+def repartition_by_url(
+    df: DataFrame, n: int, salt_buckets: int = 0, hot_hosts: list = None
+) -> DataFrame:
     """Deterministic url-hash repartition with optional salting.
 
-    ``salt_buckets > 0`` spreads each url over that many buckets — used when
-    a single key would otherwise dominate a partition (power-law hosts).
+    ``salt_buckets > 0`` spreads urls over that many extra buckets — used
+    when a single key would otherwise dominate a partition (power-law
+    hosts). With ``hot_hosts`` (a small collected list, see
+    ``find_hot_hosts``) only urls on those hosts are salted; everything
+    else keeps the stable unsalted key.
     """
     if n <= 0:
         return df
     key = F.xxhash64("url")
     if salt_buckets > 0:
-        key = F.xxhash64("url", (F.rand(seed=42) * salt_buckets).cast("int"))
+        salted = F.xxhash64("url", (F.rand(seed=42) * salt_buckets).cast("int"))
+        if hot_hosts is not None:
+            key = F.when(_host_of(F.col("url")).isin(hot_hosts), salted).otherwise(key)
+        else:
+            key = salted
     return df.repartition(n, key)
+
+
+def _host_of(url_col):
+    """Host component of a url column (JVM parse_url, no regex)."""
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def find_hot_hosts(docs: DataFrame, threshold: int) -> list:
+    """Hosts with more than ``threshold`` documents — one map-side-combined
+    aggregation; the result is a tiny driver list broadcast into the
+    salting predicate (SURVEY §4.2: AQE fixes shuffle skew, not UDF-stage
+    imbalance, so hot hosts must be spread BEFORE the Arrow stage)."""
+    rows = (
+        docs.select(_host_of(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > threshold)
+        .collect()
+    )
+    return [r["host"] for r in rows if r["host"] is not None]
 
 
 def run_quality_pipeline(
@@ -55,49 +84,71 @@ def run_quality_pipeline(
     if repartition is None:
         repartition = cfg.shuffle_partitions
     if repartition and docs.rdd.getNumPartitions() < repartition:
-        docs = repartition_by_url(docs, repartition)
+        salt_buckets, hot = 0, None
+        if cfg.salt_hot_host_threshold > 0:
+            # one extra host-histogram job, opted into via the config knob
+            hot = find_hot_hosts(docs, cfg.salt_hot_host_threshold)
+            salt_buckets = 8 if hot else 0
+        docs = repartition_by_url(docs, repartition, salt_buckets, hot)
 
     if bc is None:
         bc = spark.sparkContext.broadcast(build_artifacts(cfg))
 
-    # html is dead weight through the Python stage — drop it before the
-    # Arrow exchange (column pruning the optimizer can't do for us because
-    # mapInPandas is schema-opaque). Everything (cheap signals, gate, LM,
-    # detect/correct, scrub, decision) runs in ONE Arrow pass: a single
-    # stage, no shuffle, no extra JVM<->Python exchanges.
-    # also exclude input columns colliding with computed output names
-    # (e.g. an upstream n_chars/lang_id) BEFORE the Arrow exchange so dead
-    # columns are never shipped; make_score_stage applies the same
-    # exclusion to the schema for callers that don't pre-drop
+    staged, fields = stage_for_scoring(docs)
+    fn, out_schema = make_score_stage(bc, fields)
+    return staged.mapInPandas(fn, out_schema)
+
+
+def stage_for_scoring(docs: DataFrame):
+    """(staged_df, fields) ready for make_score_stage — shared by the
+    batch pipeline and the streaming variant so both apply the SAME
+    pre-Arrow pruning.
+
+    html is dead weight through the Python stage — drop it before the
+    Arrow exchange (column pruning the optimizer can't do for us because
+    mapInPandas is schema-opaque). Input columns colliding with computed
+    output names (e.g. an upstream n_chars/lang_id) are also excluded
+    BEFORE the exchange so dead columns are never shipped;
+    make_score_stage applies the same exclusion to the schema for callers
+    that don't pre-drop."""
     from .operators.score import COMPUTED_COLS
 
     computed = set(COMPUTED_COLS)
     cols = [c for c in docs.columns if c != "html" and c not in computed]
     staged = docs.select(*cols)
     fields = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
-    fn, out_schema = make_score_stage(bc, fields)
-    return staged.mapInPandas(fn, out_schema)
+    return staged, fields
 
 
 def audit_frame(scored: DataFrame, run_id: str = None) -> DataFrame:
     """Per-partition lineage + metrics rows (north rule).
 
     One row per (run_id, partition_id): row counts, keep/drop counts,
-    min/max ppl, bytes processed.
+    min/max ppl, bytes processed — PLUS one run-level summary row with
+    partition_id = -1. The summary row comes from a global aggregate, so
+    it exists even when the run processed zero documents (a resume with
+    nothing left to do): every run leaves exactly one run_id marker in
+    the audit table, which is what makes 'did run N happen?' answerable
+    from lineage alone.
     """
     run_id = run_id or uuid.uuid4().hex
-    return (
+    metrics = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+        F.sum(F.length("text")).alias("chars_in"),
+        F.sum(F.length("scrubbed_text")).alias("chars_out"),
+    ]
+    per_part = (
         scored.withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
-            F.min("ppl").alias("min_ppl"),
-            F.max("ppl").alias("max_ppl"),
-            F.sum(F.length("text")).alias("chars_in"),
-            F.sum(F.length("scrubbed_text")).alias("chars_out"),
-        )
+        .agg(*metrics)
+    )
+    summary = scored.agg(*metrics).withColumn("partition_id", F.lit(-1))
+    return (
+        per_part.unionByName(summary.select(*per_part.columns))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("finished_at", F.lit(time.time()))
     )
@@ -152,8 +203,17 @@ def run_with_resume(
         if "warc_ts" in docs.columns and "warc_ts" in existing.columns:
             keys = ["url", "warc_ts"]
         done = existing.select(*keys).distinct()
-        todo = docs.join(F.broadcast(done) if done.count() < 1_000_000 else done,
-                         keys, "left_anti")
+        # NULL-SAFE key equality: a plain equi-anti-join never matches
+        # NULL = NULL, so NULL-keyed rows would be re-processed and
+        # re-appended on EVERY resume. Join strategy is left to AQE — the
+        # old manual broadcast choice cost a full count() scan of
+        # docs_out before any work started.
+        d, dn = docs.alias("d"), done.alias("dn")
+        cond = None
+        for k in keys:
+            c = F.col(f"d.{k}").eqNullSafe(F.col(f"dn.{k}"))
+            cond = c if cond is None else cond & c
+        todo = d.join(dn, cond, "left_anti")
     else:
         todo = docs
     scored = run_quality_pipeline(spark, todo, cfg)

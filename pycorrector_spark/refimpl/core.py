@@ -393,11 +393,27 @@ class EnSpellCorrector:
     def probability(self, word):
         return self.word_freq.get(word, 0) / self.sum_freq
 
+    _LETTER_SET = frozenset(LETTERS)
+
+    def _norvig_reachable(self, word, cand):
+        """True iff the Norvig edits could produce ``cand`` from ``word``:
+        inserts/replaces only ever add chars from LETTERS, so every char
+        of the candidate must be a lowercase letter or already present in
+        the query. Without this filter the deletes index suggests dict
+        words containing apostrophes/uppercase that the reference's
+        known(edits1/edits2) path can never reach — outputs would differ
+        depending on whether the index is attached."""
+        q = set(word)
+        return all(c in self._LETTER_SET or c in q for c in cand)
+
     def candidates(self, word):
         if self.index is not None:
             if word in self.word_freq:
                 return {word}
-            by_dist = self.index.candidates(word)
+            by_dist = {
+                w: d for w, d in self.index.candidates(word).items()
+                if self._norvig_reachable(word, w)
+            }
             d1 = {w for w, d in by_dist.items() if d == 1}
             if d1:
                 return d1
@@ -436,13 +452,17 @@ class EnSpellCorrector:
         # can only over-trigger the fallback, never skip a correction).
         # With the memoized correct_word this is a few dict hits per
         # unique word, and clean documents dominate web corpora.
-        need = False
-        for w in dict.fromkeys(self._ALPHA_RUN_RE.findall(sentence)):
-            if len(w) > 1 and (w in self.confusion or self.correct_word(w) != w):
-                need = True
-                break
-        if not need:
-            return {"source": sentence, "target": sentence, "errors": []}
+        # ONLY valid for include_symbol=True: with include_symbol=False
+        # the slow path strips symbol fragments even from clean text, so
+        # returning the input verbatim would change the output shape.
+        if include_symbol:
+            need = False
+            for w in dict.fromkeys(self._ALPHA_RUN_RE.findall(sentence)):
+                if len(w) > 1 and (w in self.confusion or self.correct_word(w) != w):
+                    need = True
+                    break
+            if not need:
+                return {"source": sentence, "target": sentence, "errors": []}
         text_new = ""
         details = []
         for w, idx in split_sentences_by_symbol(sentence, include_symbol=include_symbol):

@@ -74,24 +74,30 @@ def fuzzy_pinyin(py: str) -> str:
 
 
 def pinyin_of(ch: str, table: dict = None) -> str:
-    """Toneless pinyin; chars outside the table get a collision-free
-    per-char fallback code (the full codepoint in hex) so unknown chars
-    only ever compare equal to THEMSELVES — a modular fallback would make
-    unrelated out-of-table chars exact 'homophones' and could push
-    word_similarity past the proper-noun rewrite threshold on real text.
-    (The reference's lazy_pinyin has full coverage; ours is a dim.)"""
+    """Toneless pinyin; chars outside the table fall back to the char
+    itself repeated 4x. The fallback must be (a) collision-free — a
+    modular code made unrelated out-of-table chars exact 'homophones' —
+    and (b) MUTUALLY DISTANT under concatenation: a short or
+    prefix-sharing code (e.g. hex codepoints 'q05801' vs 'q05802') lets
+    the surrounding matched chars dilute one mismatched char's distance
+    below the 0.85 rewrite threshold, force-rewriting unrelated text.
+    ch*4 differs from every other char's code in all 4 positions and from
+    every real pinyin/stroke string. (The reference's lazy_pinyin has
+    full coverage; ours is a dim.)"""
     py = (PINYIN_ZH if table is None else table).get(ch)
     if py is not None:
         return py
-    return f"q{ord(ch):05x}"
+    return ch * 4
 
 
 def stroke_of(ch: str, table: dict = None) -> str:
+    """Stroke code; out-of-table fallback = ch*4 (same collision/distance
+    rationale as pinyin_of — the previous codepoint-mod-5 code collided
+    for codepoints 2560 apart, scoring unrelated chars as identical)."""
     code = (STROKE_CODES if table is None else table).get(ch)
     if code is not None:
         return code
-    o = ord(ch)
-    return "".join("hspnz"[(o >> (3 * k)) % 5] for k in range(4))
+    return ch * 4
 
 
 class ProperCorrector:

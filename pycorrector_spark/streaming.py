@@ -49,8 +49,11 @@ def stream_quality_pipeline(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
-    staged = docs.select(*[c for c in docs.columns if c != "html"])
-    fields = [(f.name, f.dataType.simpleString()) for f in staged.schema.fields]
+    # same pre-Arrow pruning as the batch path (html + computed-name
+    # collisions dropped before every micro-batch's JVM->Python exchange)
+    from .pipeline import stage_for_scoring
+
+    staged, fields = stage_for_scoring(docs)
     fn, out_schema = make_score_stage(bc, fields)
     return staged.mapInPandas(fn, out_schema)
 

@@ -113,7 +113,13 @@ def test_audit_frame_totals(spark, docs_pdf):
     audit = audit_frame(scored, run_id="testrun").toPandas()
     total = scored.count()
     scored.unpersist()
-    assert audit["n_rows"].sum() == total == len(docs_pdf)
+    per_part = audit[audit["partition_id"] >= 0]
+    summary = audit[audit["partition_id"] == -1]
+    assert per_part["n_rows"].sum() == total == len(docs_pdf)
+    # the run-level summary row (partition_id=-1) repeats the totals and
+    # exists even for empty runs — one run_id marker per run
+    assert len(summary) == 1
+    assert int(summary["n_rows"].iloc[0]) == total
     assert (audit["n_keep"] + audit["n_drop"]).equals(audit["n_rows"])
     assert (audit["run_id"] == "testrun").all()
     # lineage: every partition reports
@@ -152,3 +158,23 @@ def test_null_text_matches_python_path(spark):
     assert rows[1]["n_words"] == py["n_words"] == 0
     assert rows[1]["lang_id"] == lang_id("")[0] == "und"
     assert rows[1]["lang_conf"] == 0.0
+
+
+def test_hot_host_salting_wired_through_config(spark):
+    """The salt_hot_host_threshold knob must actually engage: with a
+    dominant host over the threshold, find_hot_hosts reports it and the
+    salted repartition spreads its rows over multiple partitions."""
+    from pycorrector_spark.pipeline import find_hot_hosts, repartition_by_url
+
+    rows = [(f"https://hot.example/{i}", f"doc body text number {i}") for i in range(200)]
+    rows += [(f"https://cold{i}.example/x", "cold doc body") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    hot = find_hot_hosts(df, threshold=100)
+    assert hot == ["hot.example"]
+    parts = (
+        repartition_by_url(df, 16, salt_buckets=8, hot_hosts=hot)
+        .where("url like 'https://hot.example/%'")
+        .rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+        .collect()
+    )
+    assert sum(1 for n in parts if n > 0) >= 4  # hot host spread out

@@ -135,3 +135,45 @@ def test_eval_harness_metrics(spark):
     # fixture F1 gate mirrors the reference's eval_model_batch flow
     assert row["f1"] >= 0.9
     assert 0.0 <= row["acc"] <= 1.0
+
+
+def test_stroke_fallback_collision_free():
+    """Regression: the old codepoint-mod-5 stroke fallback collided for
+    codepoints 2560 apart (e.g. 堁堂 vs 丁丂 scored similarity 1.0),
+    force-rewriting unrelated out-of-table text into proper names."""
+    from pycorrector_spark.refimpl.proper import ProperCorrector, stroke_of
+
+    assert stroke_of("堁", {}) != stroke_of("丁", {})
+    assert stroke_of("堂", {}) != stroke_of("丂", {})
+    pc = ProperCorrector({"丁丂"})
+    assert pc.correct("前缀堁堂后缀")["errors"] == []
+
+
+def test_en_index_matches_norvig_on_nonletter_dict_words():
+    """Regression: the deletes index suggested dict words the Norvig
+    edits (inserts/replaces from a-z only) can never produce — outputs
+    diverged depending on whether the index was attached."""
+    from pycorrector_spark.refimpl.core import EnSpellCorrector
+    from pycorrector_spark.symspell import DeletesIndex
+
+    wf = {"don't": 100, "dont": 0, "front": 50}
+    plain = EnSpellCorrector({k: v for k, v in wf.items() if v > 0})
+    indexed = EnSpellCorrector(
+        {k: v for k, v in wf.items() if v > 0},
+        index=DeletesIndex(sorted(k for k, v in wf.items() if v > 0)),
+    )
+    # "don't" needs an apostrophe insert — unreachable for Norvig, so the
+    # indexed path must not suggest it either
+    assert plain.correct_word("dont") == indexed.correct_word("dont")
+
+
+def test_en_fast_path_respects_include_symbol():
+    from pycorrector_spark.refimpl.core import EnSpellCorrector
+
+    en = EnSpellCorrector({"hello": 10, "world": 10})
+    # include_symbol=False strips symbol fragments — the output shape must
+    # not depend on whether a correction happened to be needed
+    clean = en.correct("hello, world!", include_symbol=False)
+    assert clean["target"] == "helloworld"
+    fixed = en.correct("helo, world!", include_symbol=False)
+    assert fixed["target"] == "helloworld"

@@ -44,3 +44,29 @@ def test_resume_idempotent_when_complete(spark, docs_pdf, tmp_path):
     run_with_resume(spark, docs, out_dir)
     run_with_resume(spark, docs, out_dir)   # second run: nothing to do
     assert spark.read.parquet(f"{out_dir}/docs_out").count() == 60
+
+
+def test_resume_null_key_rows_not_reprocessed(spark, tmp_path):
+    """Regression: a plain equi-anti-join never matches NULL = NULL, so
+    rows with a NULL key column were re-scored and re-appended on every
+    resume. The null-safe join must keep them exactly-once."""
+    import pandas as pd
+
+    from pycorrector_spark.pipeline import run_with_resume
+
+    out = str(tmp_path / "out")
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://a.example/2"],
+            "warc_ts": [pd.Timestamp("2026-01-01"), pd.NaT],  # one NULL key
+            "html": [b"x", b"y"],
+            "text": ["some perfectly normal document text here",
+                     "another perfectly normal document body text"],
+            "lang": ["en", "en"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    run_with_resume(spark, docs, out)
+    run_with_resume(spark, docs, out)  # resume with nothing left to do
+    rows = spark.read.parquet(f"{out}/docs_out").collect()
+    assert len(rows) == 2  # NULL-warc_ts row written exactly once

@@ -54,5 +54,8 @@ def test_streaming_matches_batch_and_resumes(spark, tmp_path):
 
     # audit: one run per micro-batch epoch, covering every doc exactly once
     audit = spark.read.parquet(str(out / "audit"))
-    assert audit.agg(F.sum("n_rows")).first()[0] == 3
+    # per-partition rows cover every doc once; the partition_id=-1 rows
+    # are the per-run summary markers (excluded from partition totals)
+    per_part = audit.filter("partition_id >= 0")
+    assert per_part.agg(F.sum("n_rows")).first()[0] == 3
     assert audit.select("run_id").distinct().count() >= 2

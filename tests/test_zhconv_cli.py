@@ -120,10 +120,14 @@ def test_cli_parquet_resume_mode(spark, tmp_path):
     # second run is a no-op (resume anti-join)
     main(["--input", str(src), "--output", str(out), "--format", "parquet"])
     assert spark.read.parquet(str(out / "docs_out")).count() == 2
-    # audit covers every processed doc exactly once (second run processed
-    # zero rows, so it contributed no per-partition audit rows)
+    # audit: per-partition rows cover every processed doc exactly once
+    # (the second run processed zero rows -> no per-partition rows), and
+    # the partition_id=-1 summary markers record one run_id PER run —
+    # including the empty resume
     audit = spark.read.parquet(str(out / "audit"))
-    assert audit.agg({"n_rows": "sum"}).first()[0] == 2
+    per_part = audit.filter("partition_id >= 0")
+    assert per_part.agg({"n_rows": "sum"}).first()[0] == 2
+    assert audit.filter("partition_id = -1").count() == 2
 
 
 def test_confusion_pool_oracle_matches_serial_corrector():
