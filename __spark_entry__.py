@@ -123,6 +123,14 @@ _SYM_PAT = "[^一-龥a-zA-Z0-9 \t\n\r]"
 _WS_PAT = "[ \t\n\r]"
 _SPLIT_PAT = "[ \t\n\r]+"
 
+def _len_bounds():
+    from pycorrector_spark.config import DEFAULT_CONFIG
+
+    return DEFAULT_CONFIG.min_len, DEFAULT_CONFIG.max_len
+
+
+_MIN_LEN, _MAX_LEN = _len_bounds()
+
 _SIGNALS_CTE = f"""
 WITH sig AS (
   SELECT doc_id,
@@ -141,7 +149,7 @@ WITH sig AS (
          len(list_distinct(words)) AS n_distinct,
          CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 1.0 END AS symbol_ratio,
          CASE WHEN len(words) > 0 THEN 1.0 - len(list_distinct(words)) / len(words) ELSE 1.0 END AS rep_ratio,
-         length(stripped) BETWEEN 8 AND 1000000 AS len_ok,
+         length(stripped) BETWEEN {_MIN_LEN} AND {_MAX_LEN} AS len_ok,
          CASE WHEN n_ns <= 0 THEN 'und'
               WHEN n_cjk / n_ns >= 0.3 THEN 'zh'
               WHEN n_latin / n_ns >= 0.5 THEN 'en'
@@ -1420,8 +1428,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tok_counts": """
             SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]+'), x -> x <> '')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[一-龥]|[^A-Za-z0-9一-龥 \t\n\r]')) AS bpe_tokens
+                   len(list_filter(regexp_split_to_array(trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]+'), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[一-龥]|[^A-Za-z0-9一-龥 \t\n\r]')) AS bpe_tokens
             FROM documents
         """,
         "doc_fingerprint": """
@@ -1429,7 +1437,7 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(
                      list_prepend(0::BIGINT,
                        [unicode(c)::BIGINT for c in
-                        list_filter(regexp_split_to_array(lower(text), ''), x -> x <> '')]),
+                        list_filter(regexp_split_to_array(lower(coalesce(text, '')), ''), x -> x <> '')]),
                      (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
             FROM documents
         """,

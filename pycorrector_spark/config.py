@@ -9,6 +9,9 @@ heuristic quality, LM perplexity, detected-error density.
 
 from __future__ import annotations
 
+from .textops import MAX_LEN as _TEXTOPS_MAX_LEN
+from .textops import MIN_LEN as _TEXTOPS_MIN_LEN
+
 from dataclasses import dataclass, field
 
 
@@ -27,9 +30,11 @@ class PipelineConfig:
     enable_char_error: bool = True
     enable_word_error: bool = True
 
-    # frozen keep/drop thresholds
-    min_len: int = 8
-    max_len: int = 1_000_000
+    # keep/drop thresholds; length bounds default to the textops
+    # constants and flow from HERE into the scalar/vectorized/JVM signal
+    # functions and the generated oracle SQL (one wired source of truth)
+    min_len: int = _TEXTOPS_MIN_LEN
+    max_len: int = _TEXTOPS_MAX_LEN
     max_symbol_ratio: float = 0.3
     max_rep_ratio: float = 0.6
     max_ppl: float = 80_000.0

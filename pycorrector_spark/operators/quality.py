@@ -31,7 +31,10 @@ from ..textops import (
 )
 
 
-def with_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_columns(
+    df: DataFrame, text_col: str = "text",
+    min_len: int = MIN_LEN, max_len: int = MAX_LEN,
+) -> DataFrame:
     """Add n_chars, n_words, symbol_ratio, rep_ratio, len_ok."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     stripped = F.btrim(c, F.lit(WS_LIT))
@@ -53,7 +56,7 @@ def with_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "len_ok",
-            (F.length(stripped) >= MIN_LEN) & (F.length(stripped) <= MAX_LEN),
+            (F.length(stripped) >= min_len) & (F.length(stripped) <= max_len),
         )
     )
 

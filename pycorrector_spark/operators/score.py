@@ -209,7 +209,7 @@ def process_batch(pdf: pd.DataFrame, zh: Corrector, en: EnSpellCorrector,
 
     n = len(pdf)
     text = pdf["text"].astype(object)
-    sig = signals_frame(pdf["text"])
+    sig = signals_frame(pdf["text"], cfg.min_len, cfg.max_len)
     # input tables may carry columns colliding with computed signal names
     # (e.g. an upstream n_chars); the computed values win — a duplicate
     # label would make pdf["n_chars"] a 2-column frame and break the

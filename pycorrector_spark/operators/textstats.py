@@ -13,17 +13,20 @@ from pyspark.sql import functions as F
 # any other non-space char. Identical in Java regex and RE2.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[一-龥]|[^A-Za-z0-9一-龥 \t\n\r]"
 from ..textops import WORD_SPLIT_PATTERN as WS_TOKEN_SPLIT  # single frozen splitter
+from ..textops import WS_CHARS  # frozen whitespace set (shared with quality.py btrim)
 
 FP_MOD = 2147483647  # 2^31 - 1; keeps (h*31 + c) in int64 range
 FP_MULT = 31
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add ws_tokens (whitespace split) and bpe_tokens (regex token count)."""
-    c = F.col(text_col)
+    """Add ws_tokens (whitespace split) and bpe_tokens (regex token count).
+    NULL text counts as '' (0 tokens) — the engine-wide NULL convention
+    shared with quality.py and the pandas stage's fillna."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.size(
         F.filter(
-            F.split(F.btrim(c, F.lit(" \t\n\r")), WS_TOKEN_SPLIT),
+            F.split(F.btrim(c, F.lit(WS_CHARS)), WS_TOKEN_SPLIT),
             lambda x: x != F.lit(""),
         )
     )
@@ -42,7 +45,8 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     exact-identity fingerprint (order-sensitive, unlike md5 it survives
     recomputation in any engine with 64-bit ints).
     """
-    chars = F.split(F.lower(F.col(text_col)), "")
+    # NULL text fingerprints as '' (0), not NULL — same convention as above
+    chars = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "")
     fp = F.aggregate(
         F.filter(chars, lambda x: x != F.lit("")),
         F.lit(0).cast("long"),

@@ -20,7 +20,7 @@ from .core import Corrector, EnSpellCorrector
 def golden_row(text: str, zh: Corrector, en: EnSpellCorrector,
                cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     """All pipeline output columns for one document, computed serially."""
-    q = quality_signals(text)
+    q = quality_signals(text, cfg.min_len, cfg.max_len)
     lid, conf = lang_id(text)
     cheap_pass = (
         q["len_ok"]

@@ -373,13 +373,14 @@ WS_RE = re.compile(WS_PATTERN)
 CJK_RE = re.compile(CJK_PATTERN)
 LATIN_RE = re.compile(LATIN_PATTERN)
 
+# default length bounds for len_ok; PipelineConfig.min_len/max_len default
+# to these and the signal functions take them as parameters, so config is
+# the ONE wired source of truth (the ratio thresholds live only in config)
 MIN_LEN = 8           # chars; shorter docs are junk
 MAX_LEN = 1_000_000   # chars
-MAX_SYMBOL_RATIO = 0.3
-MAX_REP_RATIO = 0.6   # 1 - distinct_words/words
 
 
-def quality_signals(text: str) -> dict:
+def quality_signals(text: str, min_len: int = MIN_LEN, max_len: int = MAX_LEN) -> dict:
     """Frozen heuristic quality signals for one document.
 
     Every definition here has an exact Spark-SQL and DuckDB-SQL equivalent
@@ -394,7 +395,7 @@ def quality_signals(text: str) -> dict:
     n_distinct = len(set(words))
     symbol_ratio = (n_sym / n) if n else 1.0
     rep_ratio = (1.0 - n_distinct / n_words) if n_words else 1.0
-    len_ok = MIN_LEN <= len(stripped) <= MAX_LEN
+    len_ok = min_len <= len(stripped) <= max_len
     return {
         "n_chars": n,
         "n_words": n_words,
@@ -404,7 +405,7 @@ def quality_signals(text: str) -> dict:
     }
 
 
-def signals_frame(texts: pd.Series) -> pd.DataFrame:
+def signals_frame(texts: pd.Series, min_len: int = MIN_LEN, max_len: int = MAX_LEN) -> pd.DataFrame:
     """Vectorized quality + langid signals for an Arrow batch.
 
     Same regexes, same Python `re` engine as the scalar forms above, so
@@ -433,7 +434,7 @@ def signals_frame(texts: pd.Series) -> pd.DataFrame:
 
     symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 1.0)
     rep_ratio = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(n_words, 1), 1.0)
-    len_ok = (n_stripped >= MIN_LEN) & (n_stripped <= MAX_LEN)
+    len_ok = (n_stripped >= min_len) & (n_stripped <= max_len)
 
     n_ns = n_chars - n_ws
     cjk_ratio = np.where(n_ns > 0, n_cjk / np.maximum(n_ns, 1), 0.0)

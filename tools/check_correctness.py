@@ -76,7 +76,15 @@ def main():
             print(f"[{name}] ORACLE ERROR: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
-        s, o = normalize(sdf), normalize(odf)
+        # normalization/compare can itself raise on exotic result shapes
+        # (tz-aware timestamps, ndarray cells) — record ONE failure and
+        # keep checking the remaining queries instead of crashing the gate
+        try:
+            s, o = normalize(sdf), normalize(odf)
+        except Exception as e:
+            print(f"[{name}] NORMALIZE ERROR: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
         ok_rows = len(s) == len(o)
         ok_cols = list(s.columns) == list(o.columns)
         ok_vals = False
@@ -88,6 +96,8 @@ def main():
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[:6]
+            except Exception as e:
+                msg = [f"COMPARE ERROR: {type(e).__name__}: {str(e)[:200]}"]
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         print(f"[{name}] {status} spark_rows={len(s)} oracle_rows={len(o)} cols_match={ok_cols}")
         if status == "FAIL":
