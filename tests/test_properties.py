@@ -133,3 +133,99 @@ def test_minhash_identical_sets_identical_sigs(vals):
     pa, pb = _minhash_params(64)
     sigs = _minhash_batch([arr, arr.copy()], pa, pb)
     assert (sigs[0] == sigs[1]).all()
+
+
+# ---------------------------------------------------------------------------
+# round-2 machinery: DAG segmentation, longest-match rewrite, ARPA, md5_64
+# ---------------------------------------------------------------------------
+
+ZH_TEXT = st.text(
+    alphabet=st.sampled_from("我们的人工智能学习数据系统分析能力很不错一二三 ab12"),
+    max_size=40,
+)
+WORDS = st.dictionaries(
+    st.text(alphabet="我们的人工智能学习", min_size=1, max_size=4),
+    st.integers(min_value=0, max_value=10_000),
+    max_size=30,
+)
+
+
+@given(ZH_TEXT, WORDS)
+@settings(max_examples=200, deadline=None)
+def test_dag_tokens_partition_the_sentence(sentence, wf):
+    from pycorrector_spark.textops import dag_max_prob_tokens
+
+    toks = dag_max_prob_tokens(sentence, wf)
+    # spans are contiguous, start at 0, end at len, and re-join to the input
+    pos = 0
+    for t, b, e in toks:
+        assert b == pos and e > b and sentence[b:e] == t
+        pos = e
+    assert pos == len(sentence)
+    # every multi-char token is a positive-frequency dict word
+    for t, b, e in toks:
+        if e - b > 1:
+            assert wf.get(t)
+
+
+@given(ZH_TEXT, WORDS)
+@settings(max_examples=100, deadline=None)
+def test_search_mode_superset_of_base_tokens(sentence, wf):
+    from pycorrector_spark.textops import dag_max_prob_tokens, search_mode_tokens
+
+    base = dag_max_prob_tokens(sentence, wf)
+    search = search_mode_tokens(sentence, wf)
+    assert set(base) <= set(search)
+    # sub-words are all in-dict with positive freq and lie inside a base span
+    extra = set(search) - set(base)
+    for t, b, e in extra:
+        assert wf.get(t)
+        assert any(bb <= b and e <= ee for _, bb, ee in base)
+
+
+@given(ZH_TEXT, st.dictionaries(
+    st.text(alphabet="一二三四五", min_size=1, max_size=3),
+    st.text(alphabet="六七八", min_size=1, max_size=3),
+    max_size=10,
+))
+@settings(max_examples=200, deadline=None)
+def test_longest_match_rewrite_fixed_point_outside_keys(sentence, table):
+    from pycorrector_spark.textops import LongestMatchRewriter
+
+    rw = LongestMatchRewriter(table)
+    out = rw(sentence)
+    # chars outside every key pass through; text with no key occurrence
+    # is unchanged
+    if not any(k in sentence for k in table):
+        assert out == sentence
+    # rewriting is deterministic
+    assert rw(sentence) == out
+
+
+@given(st.lists(st.text(alphabet="甲乙丙丁abc", min_size=1, max_size=12),
+                min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_arpa_round_trip_random_corpora(corpus):
+    import numpy as np
+
+    from pycorrector_spark.lm.model import load_arpa, to_arpa_lines, train_char_lm
+
+    lm = train_char_lm(corpus)
+    lm2 = load_arpa(to_arpa_lines(lm))
+    texts = corpus[:5] + ["甲乙丙", ""]
+    assert np.allclose(lm.ppl_batch(texts), lm2.ppl_batch(texts), rtol=1e-5)
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_md5_64_matches_duckdb_expression(word):
+    """The one hash with a SQL twin: verify the exact DuckDB expression the
+    simhash oracle uses reproduces textops.md5_64."""
+    import duckdb
+
+    from pycorrector_spark.textops import md5_64
+
+    got = duckdb.sql(
+        "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", params=[word]
+    ).fetchone()[0]
+    assert got == md5_64(word)
