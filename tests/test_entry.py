@@ -35,5 +35,8 @@ def test_oracle_keys_subset_of_queries():
 def test_each_query_executes(spark, name):
     fn = entry_mod.queries()[name]
     df = fn(spark, SF)
-    assert df.count() >= 0
+    n = df.count()  # forces full execution
     assert len(df.columns) > 0
+    # every query produces rows at sf0.001 (a 0-row result would be a
+    # vacuous pass downstream in the oracle gate)
+    assert n > 0, f"{name} returned no rows at {SF}"

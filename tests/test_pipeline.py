@@ -73,11 +73,6 @@ def test_ppl_bitwise(scored_pdf, golden_pdf):
 
 
 def test_error_columns_match(scored_pdf, golden_pdf):
-    def norm_errs(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
-        return [tuple(d.values()) if isinstance(d, dict) else tuple(d) for d in v]
-
     for got, want in zip(scored_pdf["errors"], golden_pdf["errors"]):
         g = None if got is None else [(e["word"], e["begin"], e["end"], e["type"]) if isinstance(e, dict) else (e.word, e.begin, e.end, e.type) for e in got]
         w = None if want is None else [(e["word"], e["begin"], e["end"], e["type"]) for e in want]

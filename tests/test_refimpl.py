@@ -155,7 +155,7 @@ def test_same_pinyin_word_candidates(zh):
     # 权利 (not a dict word) -> 权力 (dict word, identical toneless pinyin,
     # one replacement away) via the same-pinyin word set
     assert "权力" in zh.generate_items("权利")
-    # transpose case is covered when both orders are dict words with the
-    # same multiset pinyin; absent here -> no spurious candidates
-    for cand in zh.generate_items("权利"):
-        assert cand != "权利"
+    # exact candidate set: ONLY the same-pinyin dict word — any extra
+    # entry (spurious transpose, input echo) fails, which is the actual
+    # no-spurious-candidates invariant
+    assert zh.generate_items("权利") == ["权力"]

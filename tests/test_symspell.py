@@ -72,9 +72,9 @@ def test_candidates_match_bruteforce(brute, indexed, q):
 
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet="abcdehilnpst", min_size=1, max_size=9))
-def test_candidates_match_bruteforce_fuzz(q):
-    brute = EnSpellCorrector(FREQ)
-    indexed = EnSpellCorrector(FREQ, index=DeletesIndex(sorted(FREQ)))
+def test_candidates_match_bruteforce_fuzz(brute, indexed, q):
+    # module-scoped fixtures are safe with hypothesis (only function-scoped
+    # ones interact badly with example reuse) — no rebuild per example
     assert indexed.candidates(q) == brute.candidates(q)
 
 
@@ -82,8 +82,10 @@ def test_index_probe_speed():
     idx = DeletesIndex(sorted(FREQ))
     import time
 
-    t0 = time.time()
+    t0 = time.perf_counter()  # monotonic; time.time() can step under NTP
     for _ in range(100):
         idx.candidates("speling")
-    per = (time.time() - t0) / 100
-    assert per < 0.005  # ms-scale, vs ~30ms for the edits2 scan
+    per = (time.perf_counter() - t0) / 100
+    # generous bound: the point is "index probe is not the ~30ms edits2
+    # scan", not a microbenchmark that flakes on a loaded CI host
+    assert per < 0.02
