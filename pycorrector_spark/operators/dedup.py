@@ -238,8 +238,11 @@ def ngram_jaccard_pairs(
     ).filter(F.col("n_sh") > 0)
     inv = sized.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        # df-filter + per-doc size recount; both aggs have map-side partial
-        # aggregation and shuffle on the same keys the self-join uses
+        # df-filter on the shingle key the self-join shuffles on anyway
+        # (map-side partial agg). The per-doc size recount is NOT joined
+        # back onto the wide inverted index — sizes attach to the far
+        # smaller PAIR aggregate below, saving an id-keyed shuffle of the
+        # full index before the expensive self-join.
         keep = (
             inv.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -248,25 +251,35 @@ def ngram_jaccard_pairs(
         )
         kept = inv.drop("n_sh").join(keep, "shingle")
         sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
-        inv = kept.join(sizes, "id")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
+        a = kept.alias("a")
+        b = kept.alias("b")
+        agg = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         )
-        .withColumn(
+    else:
+        a = inv.alias("a")
+        b = inv.alias("b")
+        agg = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.first("a.n_sh").alias("n_a"),
+                F.first("b.n_sh").alias("n_b"),
+            )
+        )
+    return (
+        agg.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
