@@ -208,6 +208,45 @@ def load_zh_wiki(path: str | None = None) -> dict:
 
 
 @lru_cache(maxsize=None)
+def pinyin_class_map() -> dict:
+    """char -> toneless-pinyin equivalence-class representative, derived
+    from the public same_pinyin.txt by union-find (both the same-tone and
+    diff-tone columns mean 'same toneless reading', corrector.py:59-84).
+
+    This is the sandbox stand-in for pypinyin's lazy_pinyin in the
+    same-pinyin candidate filter (reference corrector.py:152-161): two
+    chars compare 'same pinyin' iff they share a class. Caveat, by
+    construction: a polyphone appearing under multiple key rows MERGES
+    its readings' classes, so the filter over-admits some candidates the
+    reference would drop — the LM re-rank still gates the final choice,
+    and coverage rises from the 113-char embedded table to ~3.3k chars.
+    Empty when the data file is absent."""
+    sp = load_same_pinyin(_p("same_pinyin.txt"))
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic representative: smaller codepoint wins
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for key, group in sp.items():
+        for c in group:
+            union(key, c)
+    return {c: find(c) for c in parent}
+
+
+@lru_cache(maxsize=None)
 def full_dims() -> dict:
     """Load every reference-scale dimension available in data_dir().
 
@@ -216,7 +255,7 @@ def full_dims() -> dict:
       same_pinyin  dict[str,set]  (~3.5k rows)
       same_stroke  dict[str,set]  (~830 rows)
       stroke_codes dict[str,str]  (~12k; proper-noun stroke similarity)
-      person_names / place_names / proper_names set[str]
+      person_names / place_names dict[str,int]; proper_names set[str]
       en_word_freq dict[str,int]  (~30k words, freq>400)
       stopwords    set[str]
     Missing files load as empty containers, so callers merge with the
@@ -226,8 +265,12 @@ def full_dims() -> dict:
         "same_pinyin": load_same_pinyin(_p("same_pinyin.txt")),
         "same_stroke": load_same_stroke(_p("same_stroke.txt")),
         "stroke_codes": load_kv_dict(_p("stroke.txt")),
-        "person_names": set(load_word_freq_dict(_p("person_name.txt"))),
-        "place_names": set(load_word_freq_dict(_p("place_name.txt"))),
+        # name -> freq dicts: the reference merges BOTH into the word-freq
+        # dict (tokenizer custom words + OOV whitelist, detector.py:133-140)
+        # — they do NOT feed the ProperCorrector, which uses only the small
+        # proper_name.txt (proper_corrector.py:63-70)
+        "person_names": load_word_freq_dict(_p("person_name.txt")),
+        "place_names": load_word_freq_dict(_p("place_name.txt")),
         "proper_names": load_set_file(_p("proper_name.txt")),
         "en_word_freq": load_json_gz_freq(_p("en.json.gz")),
         "stopwords": load_set_file(_p("stopwords.txt")),

@@ -37,7 +37,7 @@ class Artifacts:
 
     def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
                  en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None,
-                 proper=None):
+                 proper=None, pinyin_classes=None, char_universe=None):
         self.lm = lm
         self.word_freq = word_freq
         self.confusion = confusion
@@ -48,6 +48,8 @@ class Artifacts:
         self.cfg = cfg
         self.en_index = en_index
         self.proper = proper  # optional ProperCorrector (detection stage 2)
+        self.pinyin_classes = pinyin_classes  # C1 same-pinyin class map
+        self.char_universe = char_universe    # C1 replacement-char pool
         # stable identity for the worker cache: survives any pyspark
         # rename of Broadcast._path (the fallback key below)
         import uuid
@@ -108,14 +110,29 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
     for w, c in base.en_word_freq.items():
         en_wf.setdefault(w, c)
 
-    names = dims["person_names"] | dims["place_names"] | dims["proper_names"]
+    # reference wiring (detector.py:133-150): person/place names and
+    # stopwords merge into the WORD-FREQ dict (segmentation vocabulary +
+    # OOV whitelist); the ProperCorrector gets ONLY proper_name.txt's
+    # curated idiom/term list — feeding it the 58k name lists makes it
+    # force-rewrite common words into person names the reference never
+    # would (observed: 老人->老几, 高兴->妇好-class rewrites)
+    word_freq = dict(base.word_freq)
+    word_freq.update(dims["person_names"])
+    word_freq.update(dims["place_names"])
+    for w in dims["stopwords"]:
+        word_freq.setdefault(w, 1)
+
     proper = ProperCorrector(
-        names or set(), stroke_codes=dims["stroke_codes"] or None
-    ) if names else None
+        dims["proper_names"], stroke_codes=dims["stroke_codes"] or None
+    ) if dims["proper_names"] else None
+
+    from ..dictio import pinyin_class_map
+
+    classes = pinyin_class_map()
 
     return Artifacts(
         lm=base.lm,
-        word_freq=base.word_freq,
+        word_freq=word_freq,
         confusion=base.confusion,
         similar=similar,
         stopwords=set(base.stopwords) | dims["stopwords"],
@@ -124,6 +141,12 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
         cfg=cfg,
         en_index=DeletesIndex(sorted(en_wf)),
         proper=proper,
+        # C1 at reference structure: same-pinyin classes from the real
+        # same_pinyin table + the 3,502-char common set as the
+        # replacement universe (corrector.py:152-161); None fallbacks
+        # keep the embedded-dim behavior when files are absent
+        pinyin_classes=classes or None,
+        char_universe=sorted(dims["common_chars"]) or None,
     )
 
 
@@ -144,6 +167,8 @@ def make_workers(art: Artifacts):
         similar_chars=art.similar,
         ppl_threshold=art.cfg.ppl_rerank_threshold,
         proper=getattr(art, "proper", None),
+        pinyin_classes=getattr(art, "pinyin_classes", None),
+        char_universe=getattr(art, "char_universe", None),
     )
     en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
                           index=getattr(art, "en_index", None))

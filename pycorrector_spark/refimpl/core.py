@@ -209,11 +209,21 @@ class Corrector(Detector):
     # reference default is 57.0 (corrector.py:223,264) on pretrained KenLM's
     # ppl scale — see config.py for the calibration note.
 
-    def __init__(self, *, similar_chars: dict = None, ppl_threshold: float = None, **kwargs):
+    def __init__(self, *, similar_chars: dict = None, ppl_threshold: float = None,
+                 pinyin_classes: dict = None, char_universe=None, **kwargs):
         super().__init__(**kwargs)
         self.similar_chars = {k: set(v) for k, v in (similar_chars or {}).items()}
         if ppl_threshold is not None:
             self.PPL_THRESHOLD = ppl_threshold
+        # same-pinyin machinery for candidate generation (C1):
+        # - pinyin_classes: char -> toneless-reading class representative
+        #   (dictio.pinyin_class_map, ~3.3k chars); None falls back to the
+        #   embedded per-char pinyin strings (round-1 behavior)
+        # - char_universe: replacement-char pool for the edit-distance-1
+        #   scan — the reference uses common_char_set.txt's 3,502 chars
+        #   (corrector.py:154-161); default stays the embedded pinyin dim
+        self.pinyin_classes = dict(pinyin_classes) if pinyin_classes else None
+        self._char_universe = tuple(char_universe) if char_universe else None
 
     def _confusion_char_set(self, c: str) -> set:
         return self.similar_chars.get(c, set())
@@ -224,7 +234,12 @@ class Corrector(Detector):
         return set()
 
     def _pinyin_key(self, word: str) -> tuple:
-        """Toneless per-char pinyin tuple (lazy_pinyin role)."""
+        """Toneless per-char pinyin tuple (lazy_pinyin role): class
+        representatives when the same-pinyin class map is loaded (chars
+        outside the map only ever equal themselves), else the embedded
+        per-char pinyin strings."""
+        if self.pinyin_classes is not None:
+            return tuple(self.pinyin_classes.get(c, c) for c in word)
         from .proper import pinyin_of
 
         return tuple(pinyin_of(c) for c in word)
@@ -234,8 +249,6 @@ class Corrector(Detector):
         corrector.py:152-161 + math_utils.edit_distance_word: transposes
         and replacements over the common-char set, kept when the result
         is a dict word with identical lazy pinyin)."""
-        from .proper import PINYIN_ZH
-
         key = self._pinyin_key(word)
         out = set()
         # transposes
@@ -243,9 +256,16 @@ class Corrector(Detector):
             cand = word[:i] + word[i + 1] + word[i] + word[i + 2:]
             if cand != word and cand in self.word_freq and self._pinyin_key(cand) == key:
                 out.add(cand)
-        # single-char replacements over the pinyin-known char universe
+        # single-char replacements over the char universe (the reference's
+        # 3,502-char common set when full dims are loaded)
+        universe = self._char_universe
+        if universe is None:
+            from .proper import PINYIN_ZH
+
+            universe = tuple(PINYIN_ZH)
+            self._char_universe = universe
         for i, orig in enumerate(word):
-            for ch in PINYIN_ZH:
+            for ch in universe:
                 if ch == orig:
                     continue
                 cand = word[:i] + ch + word[i + 1:]

@@ -116,6 +116,18 @@ def test_full_artifacts_build_and_correct():
     # english: real dict word corrected via the 30k vocabulary
     res = en.correct("this sentense has a mistake")
     assert res["target"] == "this sentence has a mistake"
-    # proper-noun stage wired into detection (stage 2)
+    # reference wiring (detector.py:133-150): the 58k person/place names
+    # merge into the WORD-FREQ dict (segmentation vocabulary + OOV
+    # whitelist), NOT the proper corrector — which gets only the curated
+    # proper_name.txt list, so common words are never force-rewritten
+    # into person names
+    assert len(zh.word_freq) > 55_000
+    assert "毛泽东" in zh.word_freq          # person_name.txt row
     assert zh.proper is not None
-    assert len(zh.proper.names) > 50000
+    assert len(zh.proper.names) == 13        # proper_name.txt entries
+    # C1 same-pinyin machinery at reference structure
+    assert len(zh.pinyin_classes) > 3000
+    assert len(zh._char_universe) == 3502    # common_char_set.txt
+    # a clean sentence must come back untouched (the old over-wired
+    # proper stage rewrote 老人 into a person name)
+    assert zh.correct("少先队员应该为老人让座")["errors"] == []
