@@ -14,15 +14,25 @@ Re-expresses the KenLM query semantics the reference relies on
         = uni(s[i]) + cond2(s[i+1]) [+ cond3(s[i+2])]
   which turns O(len * n) LM probes into three vectorized probe arrays.
 
+The model is GENERAL-ORDER (default train order 5 — the north rule's
+"batched 5-gram hash + perplexity scorer"; the reference's pretrained
+zh_giga model is likewise order-5). The detector's window scorer still
+probes the 2/3-gram tables (detector.py:441-461 scores 2/3-char windows,
+which on any higher-order ARPA model only ever touches orders <= 3 —
+same as querying kenlm with short strings), while document perplexity
+uses the full order.
+
 KenLM itself is unavailable in this environment, so the model is trained
 from the deterministic fixture corpus with absolute-discount backoff
-smoothing (Katz/ARPA style). Both the serial reference oracle and the
-Spark pandas-UDF stages score with THIS class, so their floats are
-bitwise identical by construction.
+smoothing (Katz/ARPA style), or loaded from standard ARPA text
+(load_arpa). Both the serial reference oracle and the Spark pandas-UDF
+stages score with THIS class, so their floats are bitwise identical by
+construction.
 
-Storage: flat sorted int64 key arrays + float64 value arrays, probed with
-``np.searchsorted`` — no per-row Python in the hot path; broadcast-friendly
-(a plain picklable object of numpy arrays).
+Storage: per-order flat sorted int64 key arrays (n-gram ids packed in
+base = |vocab|+3) + float64 probability/backoff arrays, probed with
+``np.searchsorted`` — no per-row Python in the hot path; broadcast-
+friendly (a plain picklable object of numpy arrays).
 """
 
 from __future__ import annotations
@@ -44,27 +54,63 @@ def _pack3(a, b, c, base):
     return (a * base + b) * base + c
 
 
+def _pack_cols(cols, base):
+    """Pack per-position id columns [c_0 ... c_{m-1}] into one int64 key
+    (horner fold, vectorized)."""
+    out = np.asarray(cols[0], dtype=np.int64).copy()
+    for c in cols[1:]:
+        out *= base
+        out += c
+    return out
+
+
 class CharNgramLM:
-    """Order-3 backoff char LM over int-encoded characters.
+    """General-order backoff char LM over int-encoded characters.
 
     Special ids: unk=0, bos=1, eos=2; real chars start at 3.
+
+    ``keys[n]`` / ``p[n]``: sorted packed n-gram keys and log10 probs for
+    n = 2..order; ``ctx_bow[n]``: log10 backoff weights for n-gram
+    CONTEXTS (aligned with keys[n]) for n = 2..order-1; unigram prob /
+    backoff live in the dense ``p1`` / ``bow1`` arrays.
     """
 
-    def __init__(self, vocab, p1, bow1, keys2, p2, bow2, keys3, p3):
+    def __init__(self, vocab, p1, bow1, keys, p, ctx_bow, order):
         self.vocab = vocab                      # dict char -> id (>=3)
         self.base = len(vocab) + 3
+        self.order = order
         self.p1 = p1                            # float64 [base]
         self.bow1 = bow1                        # float64 [base]
-        self.keys2 = keys2                      # sorted int64
-        self.p2 = p2
-        self.bow2 = bow2
-        self.keys3 = keys3                      # sorted int64
-        self.p3 = p3
+        self.keys = keys                        # {n: sorted int64}
+        self.p = p                              # {n: float64}
+        self.ctx_bow = ctx_bow                  # {n: float64} n=2..order-1
         # fast char->id for vectorized encode
         max_cp = max((ord(c) for c in vocab), default=0)
         self._cp_map = np.zeros(max_cp + 2, dtype=np.int32)  # default unk=0
         for ch, i in vocab.items():
             self._cp_map[ord(ch)] = i
+
+    # ---- backward-compatible views (order <= 3 ARPA tests, window math) ----
+
+    @property
+    def keys2(self):
+        return self.keys.get(2, np.empty(0, dtype=np.int64))
+
+    @property
+    def p2(self):
+        return self.p.get(2, np.empty(0, dtype=np.float64))
+
+    @property
+    def bow2(self):
+        return self.ctx_bow.get(2, np.zeros(len(self.keys2), dtype=np.float64))
+
+    @property
+    def keys3(self):
+        return self.keys.get(3, np.empty(0, dtype=np.int64))
+
+    @property
+    def p3(self):
+        return self.p.get(3, np.empty(0, dtype=np.float64))
 
     # ---------------- encoding ----------------
 
@@ -91,20 +137,51 @@ class CharNgramLM:
     def uni(self, w: np.ndarray) -> np.ndarray:
         return self.p1[w]
 
+    def cond(self, ctx_cols, w: np.ndarray) -> np.ndarray:
+        """log10 P(w | context) with recursive ARPA backoff.
+
+        ``ctx_cols``: list of m id arrays [c_{-m}, ..., c_{-1}] (oldest
+        first), all the same length as ``w``; m may exceed order-1 (extra
+        history is ignored).
+
+        MISS-ONLY recursion: positions whose full-order n-gram is stored
+        cost exactly one searchsorted probe; only the missing subset
+        recurses to shorter contexts. On in-domain text most positions
+        hit at the top order, so the effective probe count per position
+        is ~1 regardless of model order (an always-evaluate chain would
+        cost order(order-1)/2 probes per position)."""
+        m = min(len(ctx_cols), self.order - 1)
+        ctx_cols = ctx_cols[len(ctx_cols) - m:]
+        if m == 0:
+            return self.p1[w]
+        n = m + 1
+        if n in self.keys:
+            q = _pack_cols(list(ctx_cols) + [w], self.base)
+            pn = self._probe(self.keys[n], self.p[n], q, np.nan)
+        else:
+            pn = np.full(len(w), np.nan)
+        miss = np.isnan(pn)
+        if miss.any():
+            mc = [c[miss] for c in ctx_cols]
+            # backoff weight of the length-m context (misses only)
+            if m == 1:
+                bow = self.bow1[mc[0]]
+            elif m in self.keys and m in self.ctx_bow:
+                bow = self._probe(
+                    self.keys[m], self.ctx_bow[m], _pack_cols(mc, self.base), 0.0
+                )
+            else:
+                bow = np.zeros(int(miss.sum()), dtype=np.float64)
+            pn[miss] = bow + self.cond(mc[1:], w[miss])
+        return pn
+
     def cond2(self, v: np.ndarray, w: np.ndarray) -> np.ndarray:
         """log10 P(w | v) with backoff."""
-        q = _pack2(v, w, self.base)
-        p = self._probe(self.keys2, self.p2, q, np.nan)
-        backed = self.bow1[v] + self.p1[w]
-        return np.where(np.isnan(p), backed, p)
+        return self.cond([v], w)
 
     def cond3(self, u: np.ndarray, v: np.ndarray, w: np.ndarray) -> np.ndarray:
         """log10 P(w | u v) with recursive backoff."""
-        q3 = _pack3(u, v, w, self.base)
-        p = self._probe(self.keys3, self.p3, q3, np.nan)
-        bow_uv = self._probe(self.keys2, self.bow2, _pack2(u, v, self.base), 0.0)
-        backed = bow_uv + self.cond2(v, w)
-        return np.where(np.isnan(p), backed, p)
+        return self.cond([u, v], w)
 
     # ---------------- kenlm-equivalent API ----------------
 
@@ -119,25 +196,18 @@ class CharNgramLM:
         n = len(seq)
         if n - start <= 0:
             return 0.0
-        total = 0.0
-        # position start scored with no context unless bos gave one
         pos = np.arange(start, n)
-        # gather context ids
-        w = seq[pos]
-        v = np.where(pos - 1 >= 0, seq[np.maximum(pos - 1, 0)], -1)
-        u = np.where(pos - 2 >= 0, seq[np.maximum(pos - 2, 0)], -1)
+        local = pos if not bos else pos  # context cannot reach before seq[0]
         out = np.empty(len(pos), dtype=np.float64)
-        m_uni = v < 0
-        m_bi = (~m_uni) & (u < 0)
-        m_tri = ~(m_uni | m_bi)
-        if m_uni.any():
-            out[m_uni] = self.uni(w[m_uni])
-        if m_bi.any():
-            out[m_bi] = self.cond2(v[m_bi], w[m_bi])
-        if m_tri.any():
-            out[m_tri] = self.cond3(u[m_tri], v[m_tri], w[m_tri])
-        total = float(np.sum(out))
-        return total
+        avail = np.minimum(pos, self.order - 1)
+        for m in range(0, self.order):
+            mask = avail == m
+            if not mask.any():
+                continue
+            pm = pos[mask]
+            ctx = [seq[pm - (m - j)] for j in range(m)]
+            out[mask] = self.cond(ctx, seq[pm])
+        return float(np.sum(out))
 
     def score_chars(self, chars, bos: bool = False, eos: bool = False) -> float:
         """Score a char-token sequence (list of single chars or a string)."""
@@ -153,7 +223,8 @@ class CharNgramLM:
         return float(self.ppl_batch(["".join(chars)])[0])
 
     def ppl_batch(self, texts) -> np.ndarray:
-        """Vectorized perplexity over many strings (one flat probe pass).
+        """Vectorized perplexity over many strings (one flat probe pass
+        per context-length group and order level).
 
         Bitwise-identical to ``perplexity_chars`` per row: the per-position
         conditionals are computed by the same probe functions and summed
@@ -182,17 +253,16 @@ class CharNgramLM:
             row[o: o + k] = r
             o += k
         w = flat[pos]
-        local = pos - starts[row]
-        v = flat[pos - 1]
-        u_idx = pos - 2
-        has_u = local >= 2
-        u = np.where(has_u, flat[np.maximum(u_idx, 0)], -1)
+        local = pos - starts[row]       # how much context exists to the left
+        avail = np.minimum(local, self.order - 1)
         out = np.empty(total_pos, dtype=np.float64)
-        m_bi = ~has_u
-        if m_bi.any():
-            out[m_bi] = self.cond2(v[m_bi], w[m_bi])
-        if has_u.any():
-            out[has_u] = self.cond3(u[has_u], v[has_u], w[has_u])
+        for m in range(1, self.order):
+            mask = avail == m
+            if not mask.any():
+                continue
+            pm = pos[mask]
+            ctx = [flat[pm - (m - j)] for j in range(m)]
+            out[mask] = self.cond(ctx, w[mask])
         # reduce per row
         row_starts = np.concatenate(([0], np.cumsum(seq_lens - 1)[:-1]))
         sums = np.add.reduceat(out, row_starts)
@@ -288,54 +358,56 @@ def _id_to_token(lm: CharNgramLM):
     return rev
 
 
+def _unpack(key: int, n: int, base: int):
+    ids = []
+    for _ in range(n):
+        key, r = divmod(int(key), base)
+        ids.append(r)
+    return list(reversed(ids))
+
+
 def to_arpa_lines(lm: CharNgramLM):
     """Serialize a CharNgramLM to standard ARPA text lines (log10 probs,
     TAB-separated, \\data\\ header) — the interchange format KenLM's
     lmplz/build_binary consume and emit, so a model trained here can be
     inspected or shipped, and load_arpa(to_arpa_lines(lm)) round-trips to
-    identical scores."""
+    identical scores. Emits every order up to lm.order."""
     rev = _id_to_token(lm)
     base = lm.base
     uni_ids = [0, 1, 2] + sorted(lm.vocab.values())
-    lines = ["\\data\\",
-             f"ngram 1={len(uni_ids)}",
-             f"ngram 2={len(lm.keys2)}",
-             f"ngram 3={len(lm.keys3)}",
-             "",
-             "\\1-grams:"]
+    lines = ["\\data\\", f"ngram 1={len(uni_ids)}"]
+    for n in range(2, lm.order + 1):
+        lines.append(f"ngram {n}={len(lm.keys.get(n, ()))}")
+    lines += ["", "\\1-grams:"]
     for i in uni_ids:
         bow = lm.bow1[i]
         if bow != 0.0:
             lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}\t{bow:.7f}")
         else:
             lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}")
-    lines.append("")
-    lines.append("\\2-grams:")
-    for k, p, bow in zip(lm.keys2, lm.p2, lm.bow2):
-        a, b = divmod(int(k), base)
-        gram = f"{rev[a]} {rev[b]}"
-        if bow != 0.0:
-            lines.append(f"{p:.7f}\t{gram}\t{bow:.7f}")
-        else:
-            lines.append(f"{p:.7f}\t{gram}")
-    lines.append("")
-    lines.append("\\3-grams:")
-    for k, p in zip(lm.keys3, lm.p3):
-        ab, c = divmod(int(k), base)
-        a, b = divmod(ab, base)
-        lines.append(f"{p:.7f}\t{rev[a]} {rev[b]} {rev[c]}")
+    for n in range(2, lm.order + 1):
+        lines.append("")
+        lines.append(f"\\{n}-grams:")
+        bows = lm.ctx_bow.get(n)
+        for j, (k, p) in enumerate(zip(lm.keys.get(n, ()), lm.p.get(n, ()))):
+            gram = " ".join(rev[i] for i in _unpack(k, n, base))
+            bow = float(bows[j]) if bows is not None else 0.0
+            if bow != 0.0:
+                lines.append(f"{p:.7f}\t{gram}\t{bow:.7f}")
+            else:
+                lines.append(f"{p:.7f}\t{gram}")
     lines.append("")
     lines.append("\\end\\")
     return lines
 
 
-def load_arpa(source) -> CharNgramLM:
+def load_arpa(source, max_order: int = 5) -> CharNgramLM:
     """Parse a standard ARPA text model into a CharNgramLM.
 
-    ``source``: a path or an iterable of lines. Orders 1-3 supported
-    (higher orders rejected — the detector's query semantics are order-3,
-    reference detector.py:268-284). Tokens must be single characters apart
-    from <s>/</s>/<unk> and the <sp> escape for the literal space char —
+    ``source``: a path or an iterable of lines. Orders up to ``max_order``
+    (default 5 — the reference's pretrained zh_giga class of model) are
+    supported. Tokens must be single characters apart from
+    <s>/</s>/<unk> and the <sp> escape for the literal space char —
     ARPA cannot carry a bare space token, since space is the n-gram
     separator (this is a CHAR LM, the reference's people_chars_lm.klm
     class of model). Backoff weights default to 0 when a line omits them,
@@ -354,8 +426,8 @@ def load_arpa(source) -> CharNgramLM:
             continue
         if line.startswith("\\") and line.endswith("-grams:"):
             order = int(line[1:line.index("-")])
-            if order > 3:
-                raise ValueError(f"ARPA order {order} unsupported (max 3)")
+            if order > max_order:
+                raise ValueError(f"ARPA order {order} unsupported (max {max_order})")
             sections[order] = []
             continue
         if line in ("\\data\\", "\\end\\") or line.startswith("ngram "):
@@ -373,6 +445,7 @@ def load_arpa(source) -> CharNgramLM:
 
     if 1 not in sections:
         raise ValueError("ARPA file has no \\1-grams: section")
+    model_order = max(sections)
 
     special = {"<s>": 1, "</s>": 2, "<unk>": 0}
     # un-escape the space token before vocabulary assembly
@@ -392,6 +465,11 @@ def load_arpa(source) -> CharNgramLM:
             )
     vocab = {c: i + 3 for i, c in enumerate(chars)}
     base = len(vocab) + 3
+    if base ** model_order >= (1 << 62):
+        raise ValueError(
+            f"vocab size {len(vocab)} at order {model_order} overflows the "
+            "int64 packed-key space; prune the vocabulary or the order"
+        )
 
     def tid(tok):
         return special.get(tok, vocab.get(tok, 0))
@@ -403,32 +481,31 @@ def load_arpa(source) -> CharNgramLM:
         p1[i] = logp
         bow1[i] = bow
 
-    keys2, p2v, bow2v = [], [], []
-    for logp, gram, bow in sections.get(2, []):
-        keys2.append(_pack2(tid(gram[0]), tid(gram[1]), base))
-        p2v.append(logp)
-        bow2v.append(bow)
-    order2 = np.argsort(np.array(keys2, dtype=np.int64), kind="stable")
-    k2 = np.array(keys2, dtype=np.int64)[order2]
-    p2 = np.array(p2v, dtype=np.float64)[order2]
-    bow2 = np.array(bow2v, dtype=np.float64)[order2]
+    keys, ps, ctx_bow = {}, {}, {}
+    for n in range(2, model_order + 1):
+        kk, pv, bv = [], [], []
+        for logp, gram, bow in sections.get(n, []):
+            kk.append(_pack_cols([np.array([tid(t)]) for t in gram], base)[0])
+            pv.append(logp)
+            bv.append(bow)
+        arr = np.array(kk, dtype=np.int64)
+        order_idx = np.argsort(arr, kind="stable")
+        keys[n] = arr[order_idx]
+        ps[n] = np.array(pv, dtype=np.float64)[order_idx]
+        if n < model_order:
+            ctx_bow[n] = np.array(bv, dtype=np.float64)[order_idx]
 
-    keys3, p3v = [], []
-    for logp, gram, _bow in sections.get(3, []):
-        keys3.append(_pack3(tid(gram[0]), tid(gram[1]), tid(gram[2]), base))
-        p3v.append(logp)
-    order3 = np.argsort(np.array(keys3, dtype=np.int64), kind="stable")
-    k3 = np.array(keys3, dtype=np.int64)[order3]
-    p3 = np.array(p3v, dtype=np.float64)[order3]
-
-    return CharNgramLM(vocab, p1, bow1, k2, p2, bow2, k3, p3)
+    return CharNgramLM(vocab, p1, bow1, keys, ps, ctx_bow, model_order)
 
 
-def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
-    """Train an order-3 absolute-discount backoff char LM.
+def train_char_lm(corpus, min_count: int = 1, order: int = 5) -> CharNgramLM:
+    """Train a general-order absolute-discount backoff char LM
+    (default order 5, per the north rule's 5-gram scorer).
 
     ``corpus``: iterable of sentences (strings). Deterministic: vocabulary
-    ids assigned in sorted char order.
+    ids assigned in sorted char order; n-gram probabilities interpolate
+    with the next-lower order (so every stored prob is nonzero) and each
+    context's leftover discount mass becomes its backoff weight.
 
     Only ``min_count=1`` is supported: with a cutoff, sub-threshold chars
     would all map to the unk id, so distinct pruned n-grams collapse to
@@ -442,23 +519,28 @@ def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
             "train_char_lm supports min_count=1 only; prune the corpus "
             "vocabulary upstream instead (see docstring)"
         )
-    uni = Counter()
-    bi = Counter()
-    tri = Counter()
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    counts = {n: Counter() for n in range(1, order + 1)}
     for sent in corpus:
         if not sent:
             continue
         toks = ["<s>"] + list(sent) + ["</s>"]
         for t in toks[1:]:
-            uni[t] += 1
-        for i in range(len(toks) - 1):
-            bi[(toks[i], toks[i + 1])] += 1
-        for i in range(len(toks) - 2):
-            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+            counts[1][t] += 1
+        for n in range(2, order + 1):
+            for i in range(len(toks) - n + 1):
+                counts[n][tuple(toks[i: i + n])] += 1
 
-    chars = sorted(c for c in uni if c not in ("<s>", "</s>") and uni[c] >= min_count)
+    uni = counts[1]
+    chars = sorted(c for c in uni if c not in ("<s>", "</s>"))
     vocab = {c: i + 3 for i, c in enumerate(chars)}
     base = len(vocab) + 3
+    if base ** order >= (1 << 62):
+        raise ValueError(
+            f"vocab size {len(vocab)} at order {order} overflows the int64 "
+            "packed-key space; reduce the order"
+        )
 
     def tid(tok):
         if tok == "<s>":
@@ -478,61 +560,78 @@ def train_char_lm(corpus, min_count: int = 1) -> CharNgramLM:
         p1[tid(tok)] = math.log10((c + delta) / denom)
     p1[1] = p1[0]  # <s> is never predicted; give it unk mass for safety
 
-    # context counts for backoff weights
-    ctx1_count = Counter()
-    ctx1_types = Counter()
-    for (a, b), c in bi.items():
-        ctx1_count[a] += c
-        ctx1_types[a] += 1
+    # build orders 2..N bottom-up. cond_maps[m]: packed m-gram -> LINEAR
+    # conditional prob (stored grams only); bow_maps[m]: packed length-m
+    # context -> LINEAR backoff weight (default 1.0 for unseen contexts,
+    # the ARPA convention). Keeping every lower order around makes the
+    # training-time backoff recursion exact at any depth.
     bow1 = np.zeros(base, dtype=np.float64)
-    keys2, p2v = [], []
-    for (a, b), c in sorted(bi.items()):
-        pa = max(c - DISCOUNT, 0.0) / ctx1_count[a]
-        # interpolate so every stored prob is nonzero
-        lam = DISCOUNT * ctx1_types[a] / ctx1_count[a]
-        prob = pa + lam * (10.0 ** p1[tid(b)])
-        keys2.append(_pack2(tid(a), tid(b), base))
-        p2v.append(math.log10(prob))
-    for a in ctx1_count:
-        lam = DISCOUNT * ctx1_types[a] / ctx1_count[a]
-        bow1[tid(a)] = math.log10(lam) if lam > 0 else LOG10_EPS
+    keys, ps, ctx_bow = {}, {}, {}
+    cond_maps = {1: None}
+    bow_maps = {}
 
-    ctx2_count = Counter()
-    ctx2_types = Counter()
-    for (a, b, c_), c in tri.items():
-        ctx2_count[(a, b)] += c
-        ctx2_types[(a, b)] += 1
+    def pack_ids(toks):
+        key = 0
+        for t in toks:
+            key = key * base + tid(t)
+        return key
 
-    # bigram-conditional lookup for interpolation during training
-    p2_map = {k: v for k, v in zip(keys2, p2v)}
+    def cond_lower(tail):
+        """Linear P(tail[-1] | tail[:-1]) from the already-built orders."""
+        m = len(tail)
+        if m == 1:
+            return 10.0 ** p1[tid(tail[0])]
+        hit = cond_maps[m].get(pack_ids(tail))
+        if hit is not None:
+            return hit
+        b = bow_maps[m - 1].get(pack_ids(tail[:-1]), 1.0)
+        return b * cond_lower(tail[1:])
 
-    def cond2_train(vb, wb):
-        k = _pack2(vb, wb, base)
-        if k in p2_map:
-            return 10.0 ** p2_map[k]
-        return (10.0 ** bow1[vb]) * (10.0 ** p1[wb])
+    for n in range(2, order + 1):
+        ctx_count = Counter()
+        ctx_types = Counter()
+        for gram, c in counts[n].items():
+            ctx = gram[:-1]
+            ctx_count[ctx] += c
+            ctx_types[ctx] += 1
 
-    keys3, p3v = [], []
-    bow2_map = {}
-    for (a, b, w), c in sorted(tri.items()):
-        lam = DISCOUNT * ctx2_types[(a, b)] / ctx2_count[(a, b)]
-        pa = max(c - DISCOUNT, 0.0) / ctx2_count[(a, b)]
-        prob = pa + lam * cond2_train(tid(b), tid(w))
-        keys3.append(_pack3(tid(a), tid(b), tid(w), base))
-        p3v.append(math.log10(prob))
-    keys2_arr = np.array(keys2, dtype=np.int64)
-    order2 = np.argsort(keys2_arr, kind="stable")
-    bow2 = np.zeros(len(keys2), dtype=np.float64)
-    for (a, b), c in ctx2_count.items():
-        lam = DISCOUNT * ctx2_types[(a, b)] / c
-        bow2_map[_pack2(tid(a), tid(b), base)] = math.log10(lam) if lam > 0 else LOG10_EPS
-    k2_sorted = keys2_arr[order2]
-    p2_sorted = np.array(p2v, dtype=np.float64)[order2]
-    bow2_sorted = np.array([bow2_map.get(int(k), 0.0) for k in k2_sorted], dtype=np.float64)
+        kk, pv = [], []
+        cond_cur = {}
+        for gram, c in sorted(counts[n].items()):
+            ctx = gram[:-1]
+            lam = DISCOUNT * ctx_types[ctx] / ctx_count[ctx]
+            pa = max(c - DISCOUNT, 0.0) / ctx_count[ctx]
+            prob = pa + lam * cond_lower(gram[1:])
+            key = pack_ids(gram)
+            kk.append(key)
+            pv.append(math.log10(prob))
+            cond_cur[key] = prob
 
-    keys3_arr = np.array(keys3, dtype=np.int64)
-    order3 = np.argsort(keys3_arr, kind="stable")
-    k3_sorted = keys3_arr[order3]
-    p3_sorted = np.array(p3v, dtype=np.float64)[order3]
+        arr = np.array(kk, dtype=np.int64)
+        order_idx = np.argsort(arr, kind="stable")
+        keys[n] = arr[order_idx]
+        ps[n] = np.array(pv, dtype=np.float64)[order_idx]
 
-    return CharNgramLM(vocab, p1, bow1, k2_sorted, p2_sorted, bow2_sorted, k3_sorted, p3_sorted)
+        # backoff weights for length-(n-1) contexts
+        bow_cur = {}
+        for ctx, c in ctx_count.items():
+            lam = DISCOUNT * ctx_types[ctx] / c
+            bow_cur[pack_ids(ctx)] = lam
+        if n == 2:
+            for ctx, c in ctx_count.items():
+                lam = DISCOUNT * ctx_types[ctx] / c
+                bow1[tid(ctx[0])] = math.log10(lam) if lam > 0 else LOG10_EPS
+        else:
+            m = n - 1
+            bows = np.zeros(len(keys[m]), dtype=np.float64)
+            k_sorted = keys[m]
+            for key, lam in bow_cur.items():
+                j = int(np.searchsorted(k_sorted, key))
+                if j < len(k_sorted) and k_sorted[j] == key:
+                    bows[j] = math.log10(lam) if lam > 0 else LOG10_EPS
+            ctx_bow[m] = bows
+
+        cond_maps[n] = cond_cur
+        bow_maps[n - 1] = bow_cur
+
+    return CharNgramLM(vocab, p1, bow1, keys, ps, ctx_bow, order)

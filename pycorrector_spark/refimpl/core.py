@@ -15,21 +15,31 @@ Known, documented divergences from the reference (forced by the sandbox —
 kenlm / jieba / pypinyin are unavailable; pipeline and oracle share these
 choices so they agree with EACH OTHER exactly):
 
-1. The language model is our own order-3 backoff char LM
-   (pycorrector_spark.lm) trained on the deterministic fixture corpus,
-   not the pretrained KenLM binary.
+1. The language model is our own ORDER-5 backoff char LM
+   (pycorrector_spark.lm — the same order as the reference's pretrained
+   zh_giga model and the north rule's "5-gram hash + perplexity
+   scorer"), trained on the deterministic fixture corpus; the .klm
+   BINARY format is not decoded (no such file exists in-sandbox), but
+   standard ARPA text models load via lm.model.load_arpa.
 2. Word segmentation replicates jieba's cut(HMM=False) max-probability
    DAG route (textops.dag_max_prob_tokens) over the broadcast word dict —
    the same dynamic program jieba runs, so the residual divergence is the
    DICT CONTENT (jieba's 350k-entry dict.txt is not shipped), not the
    algorithm. A greedy max-match fallback remains via segment_mode.
-3. The same-pinyin word set (reference corrector.py:152-161) filters
-   against the embedded PINYIN_ZH dimension rather than pypinyin, so its
-   char universe is the curated table, not the full 3,502-char common set.
+3. The same-pinyin word set (reference corrector.py:152-161): with full
+   dims loaded, the filter uses toneless-reading equivalence CLASSES
+   union-found from the public same_pinyin table (~3.3k chars;
+   dictio.pinyin_class_map — polyphones over-merge their readings'
+   classes, documented there) and the real 3,502-char common set as the
+   replacement universe. pypinyin's per-char READINGS remain
+   unavailable, so the default embedded PINYIN_ZH path persists as the
+   fallback.
 4. Proper-noun correction (refimpl/proper.py, reference
    proper_corrector.py) is opt-in: pass ``proper=ProperCorrector(names)``.
-   The default stays None so golden labels are stable; pinyin/stroke
-   dimensions are the embedded tables in dicts.py, not pypinyin/stroke.txt.
+   The default stays None so golden labels are stable; with full dims,
+   the names are proper_name.txt's curated list and stroke codes the
+   12k-char stroke.txt (reference wiring — person/place name lists feed
+   the word-freq dict, detector.py:133-150, NOT this corrector).
 5. English tie-breaks sort candidates lexicographically before the
    probability argmax (the reference iterates an unordered set, which is
    hash-seed dependent — we pin determinism).

@@ -191,7 +191,11 @@ def test_load_arpa_rejects_high_order_and_multichar_tokens():
 
     from pycorrector_spark.lm.model import load_arpa
 
+    # orders above max_order (default 5) rejected
+    with pytest.raises(ValueError, match="order 6"):
+        load_arpa(["\\data\\", "\\6-grams:", "-1.0\ta b c d e f", "\\end\\"])
     with pytest.raises(ValueError, match="order 4"):
-        load_arpa(["\\data\\", "\\4-grams:", "-1.0\ta b c d", "\\end\\"])
+        load_arpa(["\\data\\", "\\4-grams:", "-1.0\ta b c d", "\\end\\"],
+                  max_order=3)
     with pytest.raises(ValueError, match="single character"):
         load_arpa(["\\data\\", "\\1-grams:", "-1.0\tword", "\\end\\"])
