@@ -46,14 +46,6 @@ LOG10_EPS = -99.0  # ARPA convention for "effectively zero"
 DISCOUNT = 0.5     # absolute discount mass moved to backoff
 
 
-def _pack2(a, b, base):
-    return a * base + b
-
-
-def _pack3(a, b, c, base):
-    return (a * base + b) * base + c
-
-
 def _pack_cols(cols, base):
     """Pack per-position id columns [c_0 ... c_{m-1}] into one int64 key
     (horner fold, vectorized)."""
@@ -197,7 +189,6 @@ class CharNgramLM:
         if n - start <= 0:
             return 0.0
         pos = np.arange(start, n)
-        local = pos if not bos else pos  # context cannot reach before seq[0]
         out = np.empty(len(pos), dtype=np.float64)
         avail = np.minimum(pos, self.order - 1)
         for m in range(0, self.order):
@@ -256,7 +247,10 @@ class CharNgramLM:
         local = pos - starts[row]       # how much context exists to the left
         avail = np.minimum(local, self.order - 1)
         out = np.empty(total_pos, dtype=np.float64)
-        for m in range(1, self.order):
+        # m=0 included: for an order-1 model every position is context-free
+        # (avail==0) and must still be scored via the unigram table — a loop
+        # starting at 1 would leave `out` as uninitialized np.empty garbage
+        for m in range(0, self.order):
             mask = avail == m
             if not mask.any():
                 continue
@@ -485,7 +479,10 @@ def load_arpa(source, max_order: int = 5) -> CharNgramLM:
     for n in range(2, model_order + 1):
         kk, pv, bv = [], [], []
         for logp, gram, bow in sections.get(n, []):
-            kk.append(_pack_cols([np.array([tid(t)]) for t in gram], base)[0])
+            key = 0
+            for t in gram:
+                key = key * base + tid(t)
+            kk.append(key)
             pv.append(logp)
             bv.append(bow)
         arr = np.array(kk, dtype=np.int64)
@@ -618,8 +615,8 @@ def train_char_lm(corpus, min_count: int = 1, order: int = 5) -> CharNgramLM:
             lam = DISCOUNT * ctx_types[ctx] / c
             bow_cur[pack_ids(ctx)] = lam
         if n == 2:
-            for ctx, c in ctx_count.items():
-                lam = DISCOUNT * ctx_types[ctx] / c
+            for ctx in ctx_count:
+                lam = bow_cur[pack_ids(ctx)]
                 bow1[tid(ctx[0])] = math.log10(lam) if lam > 0 else LOG10_EPS
         else:
             m = n - 1
