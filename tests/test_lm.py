@@ -199,3 +199,19 @@ def test_load_arpa_rejects_high_order_and_multichar_tokens():
                   max_order=3)
     with pytest.raises(ValueError, match="single character"):
         load_arpa(["\\data\\", "\\1-grams:", "-1.0\tword", "\\end\\"])
+
+
+def test_order1_model_batch_matches_score():
+    """Regression: ppl_batch's order-grouped loop must score the m=0
+    (no-context) group — a unigram-only ARPA model previously summed
+    uninitialized memory while score_ids computed the right value."""
+    from pycorrector_spark.lm.model import load_arpa
+
+    arpa = ["\\data\\", "ngram 1=4", "", "\\1-grams:",
+            "-1.0\t<unk>", "-0.9\t<s>", "-0.8\t</s>", "-0.5\t甲",
+            "", "\\end\\"]
+    lm = load_arpa(arpa)
+    assert lm.order == 1
+    ppl = float(lm.ppl_batch(["甲甲"])[0])
+    want = 10 ** (-lm.score_chars("甲甲", bos=True, eos=True) / 3)
+    assert abs(ppl - want) < 1e-12
