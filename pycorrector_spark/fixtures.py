@@ -197,6 +197,20 @@ ZHT_POOL = [
     "这是一段没有繁体字的话",
 ]
 
+# simplified-Chinese pool (zh_s2t_phrase coverage): sentences embedding
+# multi-char zh2Hant phrase keys (打印机/帮助文件/一只/一出/三国志) plus
+# plain simplified chars and one conversion-free ASCII line
+ZHS_POOL = [
+    "办公室的打印机坏了，请尽快检修",
+    "请先阅读帮助文件再安装软件",
+    "树上有一只小鸟在唱歌",
+    "他们连演了一出好戏",
+    "我最喜欢读三国志这本书",
+    "简体与繁体转换测试语句",
+    "历史数据需要定期备份与归档",
+    "plain ascii line with no chinese",
+]
+
 # minhash/shingle pool: multi-word English docs with near-dup structure
 # (copies with one word swapped) plus one too-short doc (< k words) that
 # must be DROPPED by the signature stage — the oracle mirrors the drop.

@@ -364,8 +364,10 @@ def to_arpa_lines(lm: CharNgramLM):
     """Serialize a CharNgramLM to standard ARPA text lines (log10 probs,
     TAB-separated, \\data\\ header) — the interchange format KenLM's
     lmplz/build_binary consume and emit, so a model trained here can be
-    inspected or shipped, and load_arpa(to_arpa_lines(lm)) round-trips to
-    identical scores. Emits every order up to lm.order."""
+    inspected or shipped. Probabilities are emitted at full float64
+    precision (repr — shortest string that round-trips the exact IEEE-754
+    value), so load_arpa(to_arpa_lines(lm)) reproduces BIT-IDENTICAL
+    scores (test-enforced). Emits every order up to lm.order."""
     rev = _id_to_token(lm)
     base = lm.base
     uni_ids = [0, 1, 2] + sorted(lm.vocab.values())
@@ -374,11 +376,11 @@ def to_arpa_lines(lm: CharNgramLM):
         lines.append(f"ngram {n}={len(lm.keys.get(n, ()))}")
     lines += ["", "\\1-grams:"]
     for i in uni_ids:
-        bow = lm.bow1[i]
+        bow = float(lm.bow1[i])
         if bow != 0.0:
-            lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}\t{bow:.7f}")
+            lines.append(f"{float(lm.p1[i])!r}\t{rev[i]}\t{bow!r}")
         else:
-            lines.append(f"{lm.p1[i]:.7f}\t{rev[i]}")
+            lines.append(f"{float(lm.p1[i])!r}\t{rev[i]}")
     for n in range(2, lm.order + 1):
         lines.append("")
         lines.append(f"\\{n}-grams:")
@@ -387,9 +389,9 @@ def to_arpa_lines(lm: CharNgramLM):
             gram = " ".join(rev[i] for i in _unpack(k, n, base))
             bow = float(bows[j]) if bows is not None else 0.0
             if bow != 0.0:
-                lines.append(f"{p:.7f}\t{gram}\t{bow:.7f}")
+                lines.append(f"{float(p)!r}\t{gram}\t{bow!r}")
             else:
-                lines.append(f"{p:.7f}\t{gram}")
+                lines.append(f"{float(p)!r}\t{gram}")
     lines.append("")
     lines.append("\\end\\")
     return lines

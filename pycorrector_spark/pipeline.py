@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .operators.score import build_artifacts, make_score_stage
+from .operators.score import default_artifacts, make_score_stage
 
 
 def repartition_by_url(
@@ -92,7 +92,12 @@ def run_quality_pipeline(
         docs = repartition_by_url(docs, repartition, salt_buckets, hot)
 
     if bc is None:
-        bc = spark.sparkContext.broadcast(build_artifacts(cfg))
+        # production default = REFERENCE-SCALE dims (~58k-name word-freq,
+        # 30k-word English dict, real same_pinyin/stroke tables); cached
+        # per process so repeated calls don't pay the ~7 s build. Pass a
+        # pre-built broadcast for steady-state jobs (one broadcast per
+        # application — see __spark_entry__._artifacts_bc).
+        bc = spark.sparkContext.broadcast(default_artifacts(cfg))
 
     staged, fields = stage_for_scoring(docs)
     fn, out_schema = make_score_stage(bc, fields)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .operators.score import build_artifacts, make_score_stage
+from .operators.score import default_artifacts, make_score_stage
 from .pipeline import audit_frame
 
 
@@ -43,7 +43,9 @@ def stream_quality_pipeline(
     explicit schema; production would pin it from the table catalog).
     """
     if bc is None:
-        bc = spark.sparkContext.broadcast(build_artifacts(cfg))
+        # same production default as the batch path (full reference-scale
+        # dims) — streaming and batch must label identically
+        bc = spark.sparkContext.broadcast(default_artifacts(cfg))
     schema = spark.read.parquet(input_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

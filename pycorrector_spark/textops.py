@@ -607,6 +607,44 @@ def t2s_full_series(s: pd.Series) -> pd.Series:
     return s.fillna("").str.translate(t2s_full_chars()[1])
 
 
+@functools.lru_cache(maxsize=None)
+def s2t_full_chars() -> tuple:
+    """(char_table dict, translate map) for the FULL simplified->traditional
+    single-char conversion: the embedded inverse toy table merged with the
+    public zh_wiki zh2Hant single-char rows (~2.5k chars) — the reference's
+    ``simplified2traditional`` direction (pycorrector/__init__.py exports +
+    utils/text_utils.py:101-108). Falls back to the embedded inverse table
+    alone when the file is absent."""
+    from .dictio import load_zh_wiki
+
+    table = dict(_S2T_CHARS)
+    table.update(load_zh_wiki()["s2t_chars"])
+    return table, str.maketrans(table)
+
+
+@functools.lru_cache(maxsize=None)
+def s2t_full_rewriter() -> "LongestMatchRewriter":
+    """Full s2t rewriter: multi-char zh2Hant phrases (longest-match first,
+    e.g. 打印机->印表機, 一只->一隻) layered over the full single-char
+    table — the langconv FSM semantics in the reverse direction."""
+    from .dictio import load_zh_wiki
+
+    w = load_zh_wiki()
+    table = dict(s2t_full_chars()[0])
+    table.update(w["s2t_phrases"])
+    return LongestMatchRewriter(table)
+
+
+def s2t_full(text: str) -> str:
+    """Simplified -> traditional with phrase awareness (full tables)."""
+    return s2t_full_rewriter()(text)
+
+
+def s2t_full_series(s: pd.Series) -> pd.Series:
+    """Vectorized full single-char s2t (phrase-free translate path)."""
+    return s.fillna("").str.translate(s2t_full_chars()[1])
+
+
 def word_ngrams(tokens, mode: str = "12"):
     """Composite word n-grams (reference NgramUtil.ngrams modes,
     utils/ngram_util.py:8-176): ``mode`` is a digit string — '1' unigrams,

@@ -36,6 +36,22 @@ def artifacts():
 
 
 @pytest.fixture(scope="session")
+def full_artifacts():
+    # the production-default bundle (reference-scale dims); cached per
+    # process so pipeline tests and run_quality_pipeline share one build
+    from pycorrector_spark.operators.score import default_artifacts
+
+    return default_artifacts(DEFAULT_CONFIG)
+
+
+@pytest.fixture(scope="session")
+def full_workers(full_artifacts):
+    from pycorrector_spark.operators.score import make_workers
+
+    return make_workers(full_artifacts)
+
+
+@pytest.fixture(scope="session")
 def zh(artifacts):
     return Corrector(
         lm=artifacts.lm,

@@ -23,7 +23,10 @@ def scored_pdf(spark, docs_pdf):
 
 
 @pytest.fixture(scope="module")
-def golden_pdf(docs_pdf, zh, en):
+def golden_pdf(docs_pdf, full_workers):
+    # golden labels from the SAME full reference-scale dims the pipeline
+    # now defaults to (run_quality_pipeline -> default_artifacts)
+    zh, en = full_workers
     g = golden_frame(list(docs_pdf["text"]), zh, en)
     g["url"] = list(docs_pdf["url"])
     return g.sort_values("url", ignore_index=True)
