@@ -468,11 +468,24 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+IVF_K = 5
+IVF_NPROBE = 3
+IVF_CELLS = 8
+IVF_SAMPLE_MAX_ID = 2000
+
+
 def q_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN with a REAL stored index (rows-only): driver-trained
-    coarse quantizer on a deterministic sample, corpus written partitioned
-    by cell, probe reads ONLY the nprobe cell directories (partition
-    pruning — the scan never touches the full corpus)."""
+    """IVF-flat ANN with a REAL stored index: driver-trained coarse
+    quantizer on a deterministic sample, corpus written partitioned by
+    cell, probe reads ONLY the nprobe cell directories (partition pruning
+    — the scan never touches the full corpus).
+
+    Oracle-checked since round 3: the expected rows are precomputed by a
+    serial numpy replica of the identical math (same kmeans, same cell
+    assignment, same GEMM cosines rounded to 6, same (cosine desc, id asc)
+    tie-break) over the same parquet — so the hash check verifies that the
+    distributed build/prune/probe/top-k-reduce reproduces the serial
+    contract exactly."""
     import tempfile
 
     import numpy as np
@@ -483,10 +496,16 @@ def q_ann_ivf(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    # deterministic training sample (limit() has no ordering guarantee)
-    sample = emb.filter(F.col("vec_id") < 2000).select("vec_id", "embedding").toPandas()
+    # deterministic training sample (limit() has no ordering guarantee;
+    # sorted so the kmeans init draw is independent of scan partitioning)
+    sample = (
+        emb.filter(F.col("vec_id") < IVF_SAMPLE_MAX_ID)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
     vecs = np.stack(sample["embedding"].apply(np.asarray).values)
-    cents = kmeans_centroids(vecs, k=8)
+    cents = kmeans_centroids(vecs, k=IVF_CELLS)
     # unique dir per call (a fixed shared path would let a concurrent
     # run's overwrite delete files under another run's in-flight scan);
     # dirs from PRIOR calls in this process are reaped here so repeated
@@ -496,7 +515,10 @@ def q_ann_ivf(spark, sf_dir):
     _IVF_DIRS.add(path)
     ivf_build(emb, cents, path)
     queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
-    return ivf_probe(spark, path, queries_pdf, cents, k=5, nprobe=3)
+    res = ivf_probe(spark, path, queries_pdf, cents, k=IVF_K, nprobe=IVF_NPROBE)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_lm_ppl(spark, sf_dir):
@@ -1385,6 +1407,122 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)
+def _pipeline_full_oracle_sql() -> str:
+    """qf_pipeline_full expected rows: the serial golden oracle
+    (refimpl/golden.py, full-dim workers — the identical primitives the
+    Arrow stage runs) applied row-by-row to the ACTUAL documents table
+    the driver's gate reads (sf0.01 by default; SPARK_GRAFT_ORACLE_SF_DIR
+    overrides), frozen into VALUES. This upgrades the round-2 rows-only
+    check to a full hash check of the real-corpus pipeline: every url's
+    keep/drop, ppl (bit-exact via _dlit), error count and scrubbed text
+    must match the serial contract."""
+    import os
+
+    import pandas as pd
+    from pycorrector_spark.refimpl.golden import golden_row
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    zh, en = _full_workers_cached()
+    values = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        g = golden_row("" if text is None else str(text), zh, en)
+        values.append(
+            "(" + ", ".join([
+                _sq(f"doc://{int(doc_id)}"),
+                _sq(g["lang_id"]),
+                _vlit(g["keep"]),
+                _sq(g["drop_reason"]),
+                "NULL" if g["ppl"] is None else _dlit(g["ppl"]),
+                "NULL" if g["n_errors"] is None else str(int(g["n_errors"])),
+                _sq(g["scrubbed_text"]),
+            ]) + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(values) +
+        ") t(url, lang_id, keep, drop_reason, ppl, n_errors, scrubbed_text)"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ann_ivf_oracle_sql() -> str:
+    """ann_ivf_topk expected rows, precomputed by a SERIAL numpy replica
+    of the exact distributed math (kmeans -> cell assignment -> nprobe
+    pruning -> GEMM cosines -> (cosine desc, id asc) top-k), frozen into a
+    VALUES table. The hash compare then verifies the distributed plan —
+    cell-partitioned index write, partition-pruned probe, per-batch
+    partial top-k, global reduce — reproduces the serial contract.
+
+    The replica reads the same parquet the driver's correctness gate runs
+    against (sf0.01 by default; override with SPARK_GRAFT_ORACLE_SF_DIR).
+    Floats: cosines come from the same numpy GEMM on the same float32->
+    float64 widened values, and the final round(6) replicates Spark's
+    HALF_UP Round via Decimal quantize — bit-exact literals via _dlit."""
+    import decimal
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pycorrector_spark.operators.similarity import kmeans_centroids
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = pdf[pdf["embedding"].map(lambda v: v is not None)].reset_index(drop=True)
+
+    sample = pdf[pdf["vec_id"] < IVF_SAMPLE_MAX_ID].sort_values("vec_id", ignore_index=True)
+    svecs = np.stack(sample["embedding"].apply(np.asarray).values)
+    cents = kmeans_centroids(svecs, k=IVF_CELLS)
+    cb = np.asarray(cents, dtype=np.float64)
+    c_norm2 = (cb ** 2).sum(axis=1)
+
+    mat = np.stack(pdf["embedding"].apply(np.asarray).values).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    cells = (c_norm2[None, :] - 2.0 * (mat @ cb.T)).argmin(axis=1)
+
+    qmask = pdf["vec_id"] < 8
+    qmat = mat[qmask.to_numpy()]
+    qids = ids[qmask.to_numpy()]
+    d = c_norm2[None, :] - 2.0 * (qmat @ cb.T)
+    probe_cells = np.argsort(d, axis=1, kind="stable")[:, :IVF_NPROBE]
+    probe_mask = np.zeros((len(qids), len(cb)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probe_cells[qi]] = True
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf
+    sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+
+    def spark_round6(x: float) -> float:
+        # Spark Round(double, 6) = BigDecimal(x).setScale(6, HALF_UP):
+        # exact binary expansion then decimal HALF_UP — Decimal(x) is the
+        # same exact expansion (Python's round() would banker's-round)
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    values = []
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        cand = np.where(probe_mask[qi, cells] & (ids != qid))[0]
+        if not len(cand):
+            continue
+        col = sims[:, qi]
+        order = np.lexsort((ids[cand], -col[cand]))
+        for rank, t in enumerate(cand[order[:IVF_K]], start=1):
+            values.append(
+                f"({qid}, {int(ids[t])}, {_dlit(spark_round6(float(col[t])))}, {rank})"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(values) +
+        ") t(query_id, neighbor_id, cosine, rank)"
+    )
+
+
 def _dedup_embedding_oracle_sql() -> str:
     from pycorrector_spark.operators.similarity import _hyperplanes
 
@@ -1625,9 +1763,11 @@ def oracle_sql() -> dict[str, str]:
         "en_spell_full": _en_spell_full_oracle_sql(),
         "qf_lm_ppl": _qf_lm_ppl_oracle_sql(),
         "qf_pipeline_pool": _pipeline_pool_oracle_sql(),
+        "qf_pipeline_full": _pipeline_full_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "zh_confusion": _zh_confusion_oracle_sql(),
         "qf_uniform": _uniform_oracle_sql(),
         "qf_b2q": _b2q_oracle_sql(),
