@@ -760,6 +760,60 @@ def q_homophones(spark, sf_dir):
     return pinyin.join(F.broadcast(groups), "py").select("ch", "py", "homophones")
 
 
+@functools.lru_cache(maxsize=None)
+def _pinyin_line_rows() -> tuple:
+    """(line_id, distinct chars of the reading group) per same_pinyin.txt
+    row — the dimension shared by q_homophones_full and its oracle."""
+    from pycorrector_spark.dictio import _p, load_same_pinyin_lines
+
+    lines = load_same_pinyin_lines(_p("same_pinyin.txt"))
+    return tuple(
+        (i, "".join(dict.fromkeys(h + s + d))) for i, (h, s, d) in enumerate(lines)
+    )
+
+
+def q_homophones_full(spark, sf_dir):
+    """Homophone lookup over the FULL public same_pinyin table (~3.4k
+    reading groups / ~3.4k chars — the P8 get_homophones_by_char surface
+    at reference scale, replacing the 113-entry embedded dim): each file
+    row is one reading group; a char's homophones are all chars sharing
+    any of its reading groups (polyphone-correct, no transitive merge).
+    Relational shape: explode the group membership, self-join on the
+    reading id (a ~1.7M-row equi-join on a small int key — the Spark
+    re-expression of the reference's O(20902) full-plane scan per call,
+    text_utils.py:111-137), then one aggregation."""
+    rows = list(_pinyin_line_rows())
+    dim = spark.createDataFrame(rows, "line_id int, chars string")
+    c = dim.select(
+        "line_id", F.explode(F.split("chars", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, "line_id")
+        .groupBy(F.col("a.ch").alias("ch"))
+        .agg(
+            F.countDistinct("line_id").alias("n_readings"),
+            F.array_join(F.array_sort(F.collect_set(F.col("b.ch"))), ",").alias("homophones"),
+        )
+    )
+
+
+def _homophones_full_oracle_sql() -> str:
+    values = ", ".join(f"({i}, {_sq(chars)})" for i, chars in _pinyin_line_rows())
+    return f"""
+        WITH l(line_id, chars) AS (VALUES {values}),
+        c AS (SELECT line_id,
+                     unnest(list_distinct(list_filter(
+                       regexp_split_to_array(chars, ''), x -> x <> ''))) AS ch
+              FROM l)
+        SELECT a.ch AS ch,
+               count(DISTINCT a.line_id) AS n_readings,
+               array_to_string(list_sort(list(DISTINCT b.ch)), ',') AS homophones
+        FROM c a JOIN c b USING (line_id)
+        GROUP BY a.ch
+    """
+
+
 def q_langid_agreement(spark, sf_dir):
     """A5-style confusion-matrix aggregation: claimed `lang` column vs
     computed lang_id — per-cell counts + mean confidence."""
@@ -1087,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_s2t": q_zh_s2t,
         "zh_s2t_phrase": q_zh_s2t_phrase,
         "zh_homophones": q_homophones,
+        "zh_homophones_full": q_homophones_full,
         "langid_agreement": q_langid_agreement,
         "en_spell": q_en_spell,
         "qf_detect": q_detect,
@@ -1790,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "zh_s2t": _s2t_oracle_sql(),
         "zh_s2t_phrase": _zh_s2t_phrase_oracle_sql(),
         "zh_homophones": _homophones_oracle_sql(),
+        "zh_homophones_full": _homophones_full_oracle_sql(),
         "langid_agreement": _SIGNALS_CTE + """
             SELECT d.lang, s.lang_id, count(*) AS n_docs,
                    round(avg(s.lang_conf), 6) AS avg_conf

@@ -207,6 +207,48 @@ def load_zh_wiki(path: str | None = None) -> dict:
     return out
 
 
+def load_same_pinyin_lines(path: str, sep: str = "\t") -> list:
+    """Raw same_pinyin rows as (head_char, same_tone_chars, diff_tone_chars)
+    tuples, file order preserved — the line-level structure (one line = one
+    reading group of the head char) that pinyin_reading_map and the
+    zh_homophones_full query consume. Rows with fewer than 3 columns are
+    skipped, as in the reference loader (corrector.py:59-84)."""
+    out = []
+    if not path or not os.path.exists(path):
+        return out
+    for line in _lines(path):
+        parts = line.split(sep)
+        if len(parts) > 2 and parts[0]:
+            out.append((parts[0], parts[1], parts[2]))
+    return out
+
+
+@lru_cache(maxsize=None)
+def pinyin_reading_map() -> dict:
+    """char -> frozenset of reading-group ids, derived from the public
+    same_pinyin.txt WITHOUT transitive closure: each line defines one
+    toneless reading group ({head} ∪ same-tone ∪ diff-tone chars all share
+    the head's toneless reading, corrector.py:59-84), and a char's reading
+    set is the set of lines it appears on. Two chars 'share a pinyin' iff
+    their reading sets intersect.
+
+    This is the polyphone-correct stand-in for pypinyin's per-char
+    readings (reference corrector.py:152-161): a polyphone keeps one
+    entry PER reading instead of union-find-merging every co-listed
+    char into one giant class (the round-2 pinyin_class_map behavior,
+    which over-admitted candidates through multi-hop chains like
+    reading(A)~B, reading'(B)~C => A~C). Intersection over-admits only
+    relative to lazy_pinyin's single most-common reading — strictly
+    closer to the reference than either prior behavior. ~3.3k chars;
+    empty when the data file is absent."""
+    lines = load_same_pinyin_lines(_p("same_pinyin.txt"))
+    readings: dict = {}
+    for i, (head, same, diff) in enumerate(lines):
+        for c in {head} | set(same) | set(diff):
+            readings.setdefault(c, set()).add(i)
+    return {c: frozenset(s) for c, s in readings.items()}
+
+
 @lru_cache(maxsize=None)
 def pinyin_class_map() -> dict:
     """char -> toneless-pinyin equivalence-class representative, derived

@@ -37,7 +37,8 @@ class Artifacts:
 
     def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
                  en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None,
-                 proper=None, pinyin_classes=None, char_universe=None):
+                 proper=None, pinyin_classes=None, char_universe=None,
+                 pinyin_readings=None):
         self.lm = lm
         self.word_freq = word_freq
         self.confusion = confusion
@@ -48,8 +49,9 @@ class Artifacts:
         self.cfg = cfg
         self.en_index = en_index
         self.proper = proper  # optional ProperCorrector (detection stage 2)
-        self.pinyin_classes = pinyin_classes  # C1 same-pinyin class map
+        self.pinyin_classes = pinyin_classes  # C1 same-pinyin class map (legacy)
         self.char_universe = char_universe    # C1 replacement-char pool
+        self.pinyin_readings = pinyin_readings  # C1 polyphone-correct readings
         # stable identity for the worker cache: survives any pyspark
         # rename of Broadcast._path (the fallback key below)
         import uuid
@@ -126,9 +128,9 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
         dims["proper_names"], stroke_codes=dims["stroke_codes"] or None
     ) if dims["proper_names"] else None
 
-    from ..dictio import pinyin_class_map
+    from ..dictio import pinyin_reading_map
 
-    classes = pinyin_class_map()
+    readings = pinyin_reading_map()
 
     return Artifacts(
         lm=base.lm,
@@ -141,11 +143,12 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
         cfg=cfg,
         en_index=DeletesIndex(sorted(en_wf)),
         proper=proper,
-        # C1 at reference structure: same-pinyin classes from the real
-        # same_pinyin table + the 3,502-char common set as the
+        # C1 at reference structure: polyphone-correct per-char reading
+        # SETS from the real same_pinyin table (no transitive merge —
+        # dictio.pinyin_reading_map) + the 3,502-char common set as the
         # replacement universe (corrector.py:152-161); None fallbacks
         # keep the embedded-dim behavior when files are absent
-        pinyin_classes=classes or None,
+        pinyin_readings=readings or None,
         char_universe=sorted(dims["common_chars"]) or None,
     )
 
@@ -191,6 +194,7 @@ def make_workers(art: Artifacts):
         proper=getattr(art, "proper", None),
         pinyin_classes=getattr(art, "pinyin_classes", None),
         char_universe=getattr(art, "char_universe", None),
+        pinyin_readings=getattr(art, "pinyin_readings", None),
     )
     en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
                           index=getattr(art, "en_index", None))

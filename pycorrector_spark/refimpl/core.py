@@ -220,18 +220,26 @@ class Corrector(Detector):
     # ppl scale — see config.py for the calibration note.
 
     def __init__(self, *, similar_chars: dict = None, ppl_threshold: float = None,
-                 pinyin_classes: dict = None, char_universe=None, **kwargs):
+                 pinyin_classes: dict = None, char_universe=None,
+                 pinyin_readings: dict = None, **kwargs):
         super().__init__(**kwargs)
         self.similar_chars = {k: set(v) for k, v in (similar_chars or {}).items()}
         if ppl_threshold is not None:
             self.PPL_THRESHOLD = ppl_threshold
-        # same-pinyin machinery for candidate generation (C1):
+        # same-pinyin machinery for candidate generation (C1), in order of
+        # preference:
+        # - pinyin_readings: char -> frozenset of reading-group ids
+        #   (dictio.pinyin_reading_map, ~3.3k chars, polyphone-correct —
+        #   no transitive merge); two chars share a pinyin iff their
+        #   reading sets intersect
         # - pinyin_classes: char -> toneless-reading class representative
-        #   (dictio.pinyin_class_map, ~3.3k chars); None falls back to the
-        #   embedded per-char pinyin strings (round-1 behavior)
+        #   (dictio.pinyin_class_map union-find; round-2 behavior, kept
+        #   for comparability — polyphones over-merge, documented there)
+        # - neither: the embedded per-char pinyin strings (round-1)
         # - char_universe: replacement-char pool for the edit-distance-1
         #   scan — the reference uses common_char_set.txt's 3,502 chars
         #   (corrector.py:154-161); default stays the embedded pinyin dim
+        self.pinyin_readings = dict(pinyin_readings) if pinyin_readings else None
         self.pinyin_classes = dict(pinyin_classes) if pinyin_classes else None
         self._char_universe = tuple(char_universe) if char_universe else None
 
@@ -247,24 +255,43 @@ class Corrector(Detector):
         """Toneless per-char pinyin tuple (lazy_pinyin role): class
         representatives when the same-pinyin class map is loaded (chars
         outside the map only ever equal themselves), else the embedded
-        per-char pinyin strings."""
+        per-char pinyin strings. Legacy path — pinyin_readings, when
+        present, replaces tuple equality with _same_char_pinyin."""
         if self.pinyin_classes is not None:
             return tuple(self.pinyin_classes.get(c, c) for c in word)
         from .proper import pinyin_of
 
         return tuple(pinyin_of(c) for c in word)
 
+    def _same_char_pinyin(self, a: str, b: str) -> bool:
+        """True iff chars a and b share a toneless reading: reading-set
+        intersection under the polyphone-correct reading map (a char IS
+        its own homophone), else per-char key equality."""
+        if a == b:
+            return True
+        if self.pinyin_readings is not None:
+            ra = self.pinyin_readings.get(a)
+            rb = self.pinyin_readings.get(b)
+            return bool(ra) and bool(rb) and not ra.isdisjoint(rb)
+        return self._pinyin_key(a) == self._pinyin_key(b)
+
+    def _same_word_pinyin(self, a: str, b: str) -> bool:
+        """Positionwise same-pinyin for equal-length words (the reference's
+        lazy_pinyin(a) == lazy_pinyin(b), corrector.py:152-161)."""
+        return len(a) == len(b) and all(
+            self._same_char_pinyin(x, y) for x, y in zip(a, b)
+        )
+
     def _confusion_word_set(self, word: str) -> set:
         """Same-pinyin known-word candidates one edit away (reference
         corrector.py:152-161 + math_utils.edit_distance_word: transposes
         and replacements over the common-char set, kept when the result
         is a dict word with identical lazy pinyin)."""
-        key = self._pinyin_key(word)
         out = set()
-        # transposes
+        # transposes (the swapped pair must be mutual homophones)
         for i in range(len(word) - 1):
             cand = word[:i] + word[i + 1] + word[i] + word[i + 2:]
-            if cand != word and cand in self.word_freq and self._pinyin_key(cand) == key:
+            if cand != word and cand in self.word_freq and self._same_word_pinyin(word, cand):
                 out.add(cand)
         # single-char replacements over the char universe (the reference's
         # 3,502-char common set when full dims are loaded)
@@ -279,7 +306,7 @@ class Corrector(Detector):
                 if ch == orig:
                     continue
                 cand = word[:i] + ch + word[i + 1:]
-                if cand in self.word_freq and self._pinyin_key(cand) == key:
+                if cand in self.word_freq and self._same_char_pinyin(orig, ch):
                     out.add(cand)
         return out
 

@@ -125,9 +125,15 @@ def test_full_artifacts_build_and_correct():
     assert "毛泽东" in zh.word_freq          # person_name.txt row
     assert zh.proper is not None
     assert len(zh.proper.names) == 13        # proper_name.txt entries
-    # C1 same-pinyin machinery at reference structure
-    assert len(zh.pinyin_classes) > 3000
+    # C1 same-pinyin machinery at reference structure: polyphone-correct
+    # reading SETS (no union-find transitive merge)
+    assert len(zh.pinyin_readings) > 3000
     assert len(zh._char_universe) == 3502    # common_char_set.txt
+    # polyphone sanity: 长 (chang2/zhang3) must NOT be a homophone of a
+    # char it only reaches through a multi-hop class merge; it IS its own
+    # homophone and shares a reading with 常 (chang2)
+    assert zh._same_char_pinyin("长", "长")
+    assert zh._same_char_pinyin("长", "常")
     # a clean sentence must come back untouched (the old over-wired
     # proper stage rewrote 老人 into a person name)
     assert zh.correct("少先队员应该为老人让座")["errors"] == []
