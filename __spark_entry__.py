@@ -379,6 +379,41 @@ def q_zh_segment(spark, sf_dir):
     return ensure_parallelism(df).mapInPandas(fn, "doc_id long, tokens string")
 
 
+def q_zh_segment_hmm(spark, sf_dir):
+    """Word segmentation with the HMM stage engaged (T4/T5: jieba's
+    cut(HMM=True) dataflow — max-prob DAG route, then consecutive
+    out-of-vocabulary single-char runs re-cut by the BMES viterbi so
+    unseen words join; textops.dag_hmm_tokens, tables derived from the
+    same broadcast dict). Pool oracle from the identical tokenizer."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import ZH_POOL
+
+    df = _pool_docs(spark, sf_dir, ZH_POOL)
+    bc = _artifacts_bc(spark, full=True)
+
+    def fn(it):
+        from pycorrector_spark.fixtures import fmt_tokens
+        from pycorrector_spark.textops import dag_hmm_tokens, hmm_tables_from_freq
+
+        wf = bc.value.word_freq
+        total = sum(wf.values())
+        tables = hmm_tables_from_freq(wf)  # deterministic; once per task
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": [
+                        fmt_tokens(dag_hmm_tokens(t, wf, total, tables=tables))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, "doc_id long, tokens string")
+
+
 def q_token_counts(spark, sf_dir):
     from pycorrector_spark.operators.textstats import with_token_counts
 
@@ -1126,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_b2q": q_b2q,
         "ngram_counts": q_ngram_counts,
         "zh_segment": q_zh_segment,
+        "zh_segment_hmm": q_zh_segment_hmm,
         "qf_lm_ppl": q_lm_ppl,
         "qf_pipeline_full": q_pipeline_full,
         "qf_pipeline_pool": q_pipeline_pool,
@@ -1245,6 +1281,21 @@ def _zh_segment_oracle_sql() -> str:
     total = sum(wf.values())
     rows = [
         (i, (fmt_tokens(dag_max_prob_tokens(s, wf, total)),))
+        for i, s in enumerate(ZH_POOL)
+    ]
+    return _pool_oracle_sql(len(ZH_POOL), ["tokens"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_segment_hmm_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_tokens
+    from pycorrector_spark.textops import dag_hmm_tokens, hmm_tables_from_freq
+
+    wf = dict(_full_artifacts_cached().word_freq)
+    total = sum(wf.values())
+    tables = hmm_tables_from_freq(wf)
+    rows = [
+        (i, (fmt_tokens(dag_hmm_tokens(s, wf, total, tables=tables)),))
         for i, s in enumerate(ZH_POOL)
     ]
     return _pool_oracle_sql(len(ZH_POOL), ["tokens"], rows)
@@ -1811,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp USING (doc_id)
         """,
         "zh_segment": _zh_segment_oracle_sql(),
+        "zh_segment_hmm": _zh_segment_hmm_oracle_sql(),
         "qf_detect": _qf_detect_oracle_sql(),
         "zh_proper": _zh_proper_oracle_sql(),
         "en_spell": _en_spell_oracle_sql(),

@@ -26,6 +26,12 @@ choices so they agree with EACH OTHER exactly):
    the same dynamic program jieba runs, so the residual divergence is the
    DICT CONTENT (jieba's 350k-entry dict.txt is not shipped), not the
    algorithm. A greedy max-match fallback remains via segment_mode.
+   Since round 3 the HMM mode also exists (textops.dag_hmm_tokens: the
+   finalseg BMES viterbi over buffered OOV runs, jieba __cut_DAG
+   dataflow) with tables DERIVED from the word-freq dict — jieba's
+   corpus-trained prob_start/trans/emit files are the remaining content
+   gap. The detector keeps HMM=False for its OOV scan (an HMM-joined
+   token is by construction OOV, which would double-flag the same span).
 3. The same-pinyin word set (reference corrector.py:152-161): with full
    dims loaded, the filter uses toneless-reading equivalence CLASSES
    union-found from the public same_pinyin table (~3.3k chars;

@@ -233,6 +233,197 @@ def dag_max_prob_tokens(sentence: str, word_freq: dict, total: int = None,
     return out
 
 
+# --------------------------------------------------------------------------
+# HMM finalseg (jieba cut(HMM=True) parity): 4-state BMES Viterbi over
+# out-of-vocabulary char runs. The ALGORITHM replicates jieba's public
+# finalseg (viterbi over states B/M/E/S with the PrevStatus constraint
+# B<-ES, M<-MB, S<-SE, E<-BM; reference utils/tokenizer.py:100-127 calls
+# jieba.cut(HMM=True)). The probability TABLES are the documented
+# divergence: jieba ships corpus-trained prob_start/trans/emit data files
+# (absent in this sandbox), so ours are derived deterministically from
+# the broadcast word-frequency dict — each dict word contributes its
+# freq-weighted BMES labeling. Serial oracle and Spark stage derive the
+# SAME tables from the SAME dict, so they agree exactly.
+# --------------------------------------------------------------------------
+
+MIN_FLOAT = -3.14e100  # jieba's log-prob floor for impossible events
+
+# legal predecessor states (jieba finalseg.PrevStatus)
+_PREV_STATUS = {"B": "ES", "M": "MB", "S": "SE", "E": "BM"}
+
+
+def hmm_tables_from_freq(word_freq: dict):
+    """(start, trans, emit) log-prob tables derived from a word-freq dict.
+
+    Emissions: P(char | state) from freq-weighted positional counts
+    (len-1 word -> S; longer -> B first char, E last, M middle).
+    Within-word transitions (B->M/E, M->M/E) from word-length mass;
+    across-word transitions (E/S -> B/S) and the start distribution from
+    the single-vs-multi-char word mass ratio (the dict carries no word
+    ORDER, so the cross-word bigram is approximated by the unigram
+    start-state mass — divergence documented above)."""
+    import math
+
+    emit_counts = {s: {} for s in "BMES"}
+    trans_counts = {"B": {"M": 0.0, "E": 0.0}, "M": {"M": 0.0, "E": 0.0}}
+    single_mass = 0.0
+    multi_mass = 0.0
+    for w, f in word_freq.items():
+        if not w:
+            continue
+        f = float(f) if f else 1.0
+        if len(w) == 1:
+            emit_counts["S"][w] = emit_counts["S"].get(w, 0.0) + f
+            single_mass += f
+            continue
+        multi_mass += f
+        emit_counts["B"][w[0]] = emit_counts["B"].get(w[0], 0.0) + f
+        emit_counts["E"][w[-1]] = emit_counts["E"].get(w[-1], 0.0) + f
+        for c in w[1:-1]:
+            emit_counts["M"][c] = emit_counts["M"].get(c, 0.0) + f
+        if len(w) == 2:
+            trans_counts["B"]["E"] += f
+        else:
+            trans_counts["B"]["M"] += f
+            trans_counts["M"]["M"] += (len(w) - 3) * f
+            trans_counts["M"]["E"] += f
+
+    total_mass = single_mass + multi_mass
+    p_single = (single_mass / total_mass) if total_mass else 0.5
+    p_single = min(max(p_single, 1e-12), 1.0 - 1e-12)
+    lp_s, lp_b = math.log(p_single), math.log(1.0 - p_single)
+
+    start = {"B": lp_b, "S": lp_s, "M": MIN_FLOAT, "E": MIN_FLOAT}
+    trans = {
+        "E": {"B": lp_b, "S": lp_s},
+        "S": {"B": lp_b, "S": lp_s},
+    }
+    for s in ("B", "M"):
+        tot = trans_counts[s]["M"] + trans_counts[s]["E"]
+        trans[s] = {
+            t: (math.log(c / tot) if tot and c else MIN_FLOAT)
+            for t, c in trans_counts[s].items()
+        }
+    emit = {}
+    for s, counts in emit_counts.items():
+        tot = sum(counts.values())
+        emit[s] = {
+            c: math.log(n / tot) for c, n in counts.items() if n
+        } if tot else {}
+    return start, trans, emit
+
+
+def viterbi_bmes(obs: str, start: dict, trans: dict, emit: dict):
+    """(best_log_prob, state_string) for one char run — jieba finalseg's
+    viterbi with the PrevStatus legality constraint and the final max
+    restricted to E/S (a word cannot end mid-token)."""
+    V = [{}]
+    path = {}
+    for s in "BMES":
+        V[0][s] = start[s] + emit[s].get(obs[0], MIN_FLOAT)
+        path[s] = s
+    for t in range(1, len(obs)):
+        V.append({})
+        new_path = {}
+        for s in "BMES":
+            em = emit[s].get(obs[t], MIN_FLOAT)
+            best_p, best_prev = None, None
+            for p in _PREV_STATUS[s]:
+                cand = V[t - 1][p] + trans[p].get(s, MIN_FLOAT) + em
+                # deterministic tie-break: first legal predecessor wins
+                # (the _PREV_STATUS order is fixed, as in jieba)
+                if best_p is None or cand > best_p:
+                    best_p, best_prev = cand, p
+            V[t][s] = best_p
+            new_path[s] = path[best_prev] + s
+        path = new_path
+    if V[-1]["E"] >= V[-1]["S"]:
+        return V[-1]["E"], path["E"]
+    return V[-1]["S"], path["S"]
+
+
+_HAN_BLOCK_RE = re.compile(r"([一-龥]+)")
+_SKIP_RUN_RE = re.compile(r"([a-zA-Z0-9]+(?:\.[0-9]+)?%?)")
+
+
+def hmm_cut_spans(block: str, tables) -> list:
+    """[(token, begin, end)] for one buffered OOV run: Han sub-runs go
+    through the BMES viterbi (tokens cut at E/S states); non-Han runs are
+    split into alnum runs (kept whole) and other single chars — the
+    finalseg.cut block structure."""
+    start, trans, emit = tables
+    out = []
+    pos = 0
+    for frag in _HAN_BLOCK_RE.split(block):
+        if not frag:
+            continue
+        if _HAN_BLOCK_RE.match(frag):
+            _, states = viterbi_bmes(frag, start, trans, emit)
+            b = 0
+            for i, s in enumerate(states):
+                if s in "ES":
+                    out.append((frag[b: i + 1], pos + b, pos + i + 1))
+                    b = i + 1
+            if b < len(frag):  # trailing B/M (defensive; final max forbids it)
+                out.append((frag[b:], pos + b, pos + len(frag)))
+        else:
+            off = pos
+            for piece in _SKIP_RUN_RE.split(frag):
+                if not piece:
+                    continue
+                if _SKIP_RUN_RE.fullmatch(piece):
+                    out.append((piece, off, off + len(piece)))
+                    off += len(piece)
+                else:
+                    for ch in piece:
+                        out.append((ch, off, off + 1))
+                        off += 1
+        pos += len(frag)
+    return out
+
+
+def dag_hmm_tokens(sentence: str, word_freq: dict, total: int = None,
+                   tables=None):
+    """[(token, begin, end)] by jieba's ``cut(HMM=True)`` dataflow: the
+    max-prob DAG route first, then consecutive single-char pieces are
+    buffered and — when the buffer is not itself a dict word — re-cut by
+    the BMES viterbi so out-of-vocabulary spans (unseen names, new words)
+    join into multi-char tokens (jieba __cut_DAG; reference
+    tokenizer.py:100-127). Tables default to hmm_tables_from_freq over
+    the same dict."""
+    if tables is None:
+        tables = hmm_tables_from_freq(word_freq)
+    base = dag_max_prob_tokens(sentence, word_freq, total)
+    out = []
+    buf = []  # [(char, pos)] run of consecutive 1-char pieces
+
+    def flush():
+        if not buf:
+            return
+        if len(buf) == 1:
+            c, p = buf[0]
+            out.append((c, p, p + 1))
+        else:
+            word = "".join(c for c, _ in buf)
+            b0 = buf[0][1]
+            if not word_freq.get(word):
+                for tok, rb, re_ in hmm_cut_spans(word, tables):
+                    out.append((tok, b0 + rb, b0 + re_))
+            else:
+                for c, p in buf:
+                    out.append((c, p, p + 1))
+        buf.clear()
+
+    for w, b, e in base:
+        if e - b == 1:
+            buf.append((w, b))
+        else:
+            flush()
+            out.append((w, b, e))
+    flush()
+    return out
+
+
 def search_mode_tokens(sentence: str, word_freq: dict, total: int = None):
     """jieba search-mode token stream (``tokenize(..., 'search')``): the
     base max-prob segmentation plus every in-dict 2-gram / 3-gram sub-word
