@@ -585,6 +585,47 @@ def q_lm_ppl(spark, sf_dir):
     )
 
 
+def q_lm_ppl_binary(spark, sf_dir):
+    """Perplexity through the BINARY model path (S10): the trained LM is
+    serialized to the SGKLM container, re-loaded as the KenLM-probing-
+    style hash-table scorer (chained MurmurHash64A keys, open-addressing
+    probes — lm/binary.py), broadcast, and scored over the same pool as
+    qf_lm_ppl. The oracle is qf_lm_ppl's frexp-literal table: binary
+    round-trip + hash probing must reproduce the sorted-array scores
+    bit-for-bit, which this hash check proves end-to-end."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    def build():
+        import os
+        import tempfile
+
+        from pycorrector_spark.lm.binary import load_binary, save_binary
+
+        fd, path = tempfile.mkstemp(suffix=".sgklm")
+        os.close(fd)
+        try:
+            save_binary(_full_artifacts_cached().lm, path)
+            return load_binary(path)  # plain arrays -> picklable broadcast
+        finally:
+            os.unlink(path)
+
+    bc = _cached_bc(spark, "lm_binary", build)
+
+    def fn(it):
+        from pycorrector_spark.textops import uniform
+
+        lm = bc.value
+        for pdf in it:
+            ppl = lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppl": ppl})
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL)).mapInPandas(
+        fn, "doc_id long, ppl double"
+    )
+
+
 def q_pipeline_full(spark, sf_dir):
     """Complete quality-filter pipeline over the real corpus with FULL
     reference-scale dims (rows-only; exact parity with the serial oracle
@@ -1163,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_segment": q_zh_segment,
         "zh_segment_hmm": q_zh_segment_hmm,
         "qf_lm_ppl": q_lm_ppl,
+        "qf_lm_ppl_binary": q_lm_ppl_binary,
         "qf_pipeline_full": q_pipeline_full,
         "qf_pipeline_pool": q_pipeline_pool,
         "tok_counts": q_token_counts,
@@ -1869,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "zh_correct_full": _zh_correct_full_oracle_sql(),
         "en_spell_full": _en_spell_full_oracle_sql(),
         "qf_lm_ppl": _qf_lm_ppl_oracle_sql(),
+        "qf_lm_ppl_binary": _qf_lm_ppl_oracle_sql(),
         "qf_pipeline_pool": _pipeline_pool_oracle_sql(),
         "qf_pipeline_full": _pipeline_full_oracle_sql(),
         "media_features": _media_features_oracle_sql(),

@@ -147,25 +147,36 @@ class CharNgramLM:
         if m == 0:
             return self.p1[w]
         n = m + 1
-        if n in self.keys:
-            q = _pack_cols(list(ctx_cols) + [w], self.base)
-            pn = self._probe(self.keys[n], self.p[n], q, np.nan)
-        else:
-            pn = np.full(len(w), np.nan)
+        pn = self._probe_ngram(n, list(ctx_cols) + [w])
         miss = np.isnan(pn)
         if miss.any():
             mc = [c[miss] for c in ctx_cols]
             # backoff weight of the length-m context (misses only)
             if m == 1:
                 bow = self.bow1[mc[0]]
-            elif m in self.keys and m in self.ctx_bow:
-                bow = self._probe(
-                    self.keys[m], self.ctx_bow[m], _pack_cols(mc, self.base), 0.0
-                )
             else:
-                bow = np.zeros(int(miss.sum()), dtype=np.float64)
+                bow = self._probe_bow(m, mc)
             pn[miss] = bow + self.cond(mc[1:], w[miss])
         return pn
+
+    # -- probe hooks (overridden by the hash-probing binary model,
+    #    lm/binary.ProbingCharLM — same recursion, different key scheme) --
+
+    def _probe_ngram(self, n: int, cols) -> np.ndarray:
+        """log10 prob of the n-grams formed by ``cols`` (n id arrays,
+        oldest first); NaN where the gram is not stored."""
+        if n not in self.keys:
+            return np.full(len(cols[-1]), np.nan)
+        q = _pack_cols(cols, self.base)
+        return self._probe(self.keys[n], self.p[n], q, np.nan)
+
+    def _probe_bow(self, m: int, cols) -> np.ndarray:
+        """log10 backoff weight of the length-m contexts (0 when absent)."""
+        if m in self.keys and m in self.ctx_bow:
+            return self._probe(
+                self.keys[m], self.ctx_bow[m], _pack_cols(cols, self.base), 0.0
+            )
+        return np.zeros(len(cols[-1]), dtype=np.float64)
 
     def cond2(self, v: np.ndarray, w: np.ndarray) -> np.ndarray:
         """log10 P(w | v) with backoff."""
