@@ -1034,11 +1034,13 @@ def q_eval_f1(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> feature vector through the
-    real Arrow-batched decode stage (deterministic-fake codec, disclosed
-    stub). Features emitted as comma-joined repr strings so the checker
-    can hash them; oracle = the same python-formatted strings precomputed
-    from the same deterministic payloads."""
+    """Multimodal: binary payload -> feature vector through the Arrow-
+    batched decode stage. PNG rows (2/3 of the table) decode FOR REAL —
+    pure-Python zlib-inflate + scanline-unfilter codec, true pixel
+    statistics (operators/multimodal.decode_png); other mimes keep the
+    disclosed deterministic-fake stub. Features emitted as comma-joined
+    repr strings so the checker can hash them; oracle = the same strings
+    precomputed from the same deterministic payloads."""
     import pandas as pd
     from pycorrector_spark.operators.multimodal import (
         decode_image_batch,
@@ -1458,11 +1460,11 @@ def _dedup_minhash_oracle_sql() -> str:
 
 @functools.lru_cache(maxsize=None)
 def _media_features_oracle_sql() -> str:
-    from pycorrector_spark.operators.multimodal import _fake_features, media_rows
+    from pycorrector_spark.operators.multimodal import media_features, media_rows
 
     values = ", ".join(
         f"({i}, {_sq(mime)}, "
-        f"{_sq(','.join(repr(float(x)) for x in _fake_features(payload)))})"
+        f"{_sq(','.join(repr(float(x)) for x in media_features(payload, deterministic_fake=True)))})"
         for i, mime, _w, _h, payload in media_rows(64)
     )
     return f"SELECT * FROM (VALUES {values}) t(media_id, mime, features)"

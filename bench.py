@@ -197,6 +197,83 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
     return result
 
 
+def run_skew(sf_dir: str, cpus: int, n_hot: int = 40_000) -> dict:
+    """Unsalted-vs-salted tail under a re-crawl storm: ``n_hot`` copies of
+    ONE url (all hashing to one partition) over the sf corpus, scored by
+    the full pipeline. Unsalted, the storm serializes on a single task
+    (the wall clock IS the tail); salted via find_hot_hosts +
+    repartition_by_url it spreads across 8 buckets. Reports both walls
+    and the max-partition-rows balance metric — the evidence that the
+    cfg.salt_hot_host_threshold knob buys real tail latency, not just a
+    different plan."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _docs_as_webpages
+    from pycorrector_spark.operators.score import default_artifacts
+    from pycorrector_spark.pipeline import (
+        find_hot_hosts,
+        repartition_by_url,
+        run_quality_pipeline,
+    )
+
+    spark = _make_spark(cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    bc = spark.sparkContext.broadcast(default_artifacts())
+    storm_text = "美食美事皆不可辜负，这场盛会你一定期待已久"  # real zh scoring cost
+    storm = spark.range(n_hot).select(
+        F.lit("https://hot.example/storm").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.lit(storm_text), "utf-8").alias("html"),
+        F.lit(storm_text).alias("text"),
+        F.lit("zh").alias("lang"),
+    )
+    docs = _docs_as_webpages(spark, sf_dir).unionByName(storm).persist()
+    docs.count()
+    parts = 4 * cpus
+
+    def max_part_rows(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().agg(F.max("count")).first()[0]
+        )
+
+    results = {}
+    hot = find_hot_hosts(docs, threshold=n_hot // 2)
+    for mode in ("unsalted", "salted"):
+        staged = (
+            repartition_by_url(docs, parts)
+            if mode == "unsalted"
+            else repartition_by_url(docs, parts, salt_buckets=8, hot_hosts=hot)
+        )
+        _materialize(run_quality_pipeline(spark, staged, repartition=0, bc=bc))  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            _materialize(run_quality_pipeline(spark, staged, repartition=0, bc=bc))
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        results[mode] = {
+            "sec": round(best, 3),
+            "max_partition_rows": int(max_part_rows(staged)),
+        }
+    docs.unpersist()
+    spark.stop()
+    speedup = round(results["unsalted"]["sec"] / results["salted"]["sec"], 2)
+    return {
+        "metric": "skew_salting_speedup",
+        "value": speedup,
+        "unit": "ratio",
+        "queries": {
+            "skew_unsalted": results["unsalted"]["sec"],
+            "skew_salted": results["salted"]["sec"],
+        },
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "hot_hosts": hot,
+        "balance": {m: r["max_partition_rows"] for m, r in results.items()},
+    }
+
+
 def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: int = 128) -> dict:
     """Same job on IDENTICAL input at N and 4N cores in fresh JVMs (sandbox
     stand-in for N vs 4N executors, per BASELINE.json north_rule); writes
@@ -266,6 +343,7 @@ def main():
     ap.add_argument("--pipeline-replicated", action="store_true")
     ap.add_argument("--replicate", type=int, default=128)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--scale-cores", default="4,16",
                     help="--scaling: 'N,4N' core counts (e.g. 2,8)")
     args = ap.parse_args()
@@ -273,6 +351,8 @@ def main():
     if args.scaling:
         n, n4 = (int(x) for x in args.scale_cores.split(","))
         result = run_scaling(args.sf_dir, n_cores=n, n4_cores=n4, replicate=args.replicate)
+    elif args.skew:
+        result = run_skew(args.sf_dir, args.cpus)
     elif args.pipeline_replicated:
         result = run_pipeline_replicated(args.sf_dir, args.cpus, args.replicate)
     elif args.pipeline_only:

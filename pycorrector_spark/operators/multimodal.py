@@ -1,19 +1,28 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image_batch`` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it produces a seeded fake
-feature vector derived from the binary's bytes — so the Spark-side
-plumbing (schema, Arrow batch shape, partitioning, UDF signature) is real
-and tested end-to-end while the codec is swappable.
+Decode tiers:
 
-Pattern for production: put the real decoder (PIL/torchvision/ffmpeg)
+- PNG payloads decode FOR REAL: a dependency-free pure-Python decoder
+  (zlib inflate + scanline unfilter, all five filter types, 8-bit
+  gray/RGB/RGBA) feeds true pixel statistics into the feature vector —
+  and a matching minimal encoder generates the deterministic fixtures.
+- Other mime types remain STUBBED (no jpeg/audio/video codecs in this
+  container): ``decode_image_batch`` raises NotImplementedError unless
+  ``deterministic_fake=True``, in which case non-PNG payloads produce a
+  seeded fake feature vector derived from the binary's bytes — the
+  Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
+  signature) is real and tested end-to-end while those codecs stay
+  swappable.
+
+Pattern for production: put a full decoder (PIL/torchvision/ffmpeg)
 behind the same `mapInPandas` signature; nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -27,17 +36,136 @@ MEDIA_SCHEMA_DDL = (  # matches make_media_table output (pandas ints -> bigint)
 FEATURE_DIM = 16
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal RFC-2083 PNG encoder (8-bit, filter 0, non-interlaced) for
+    gray (h,w), RGB (h,w,3) or RGBA (h,w,4) uint8 arrays — the fixture
+    generator's real-codec counterpart; output round-trips bit-exactly
+    through decode_png (test-enforced)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python PNG decode -> uint8 array (h, w, channels).
+
+    Supports 8-bit depth, color types 0/2/4/6, all five scanline filters
+    (None/Sub/Up/Average/Paeth per RFC 2083 §6), non-interlaced, with
+    per-chunk CRC verification. Palette/16-bit/interlaced images raise —
+    they are outside the fixture contract and a production codec's job."""
+    data = bytes(data)
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIGNATURE)
+    idat = []
+    w = h = color_type = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        ctype = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length: pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type}, "
+                    f"interlace={interlace}); fixture contract is 8-bit "
+                    "gray/RGB/RGBA non-interlaced"
+                )
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0          # left
+                b = prev[i]                              # up
+                if f == 1:  # Sub
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    cc = prev[i - c] if i >= c else 0    # upper-left
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
 def media_rows(n: int = 64, seed: int = 42) -> list:
-    """Deterministic fake media rows (media_id, mime, width, height,
-    payload bytes) — pure function shared by make_media_table and the
-    driver-side oracle precompute."""
+    """Deterministic media rows (media_id, mime, width, height, payload
+    bytes) — pure function shared by make_media_table and the driver-side
+    oracle precompute. PNG rows carry REAL encoded PNGs (deterministic
+    gradient+noise pixels, filter-0); jpeg rows keep opaque random bytes
+    for the disclosed fake-codec path."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w = int(rng.integers(16, 256))
         h = int(rng.integers(16, 256))
-        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
-        rows.append((i, "image/png" if i % 3 else "image/jpeg", w, h, payload))
+        if i % 3:
+            pw, ph = (w % 16) + 4, (h % 16) + 4  # small real images
+            grad = (
+                np.arange(ph)[:, None, None] * 7
+                + np.arange(pw)[None, :, None] * 3
+                + np.arange(3)[None, None, :] * 11
+            )
+            noise = rng.integers(0, 32, size=(ph, pw, 3))
+            payload = encode_png(((grad + noise) % 256).astype(np.uint8))
+            rows.append((i, "image/png", pw, ph, payload))
+        else:
+            payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+            rows.append((i, "image/jpeg", w, h, payload))
     return rows
 
 
@@ -50,24 +178,52 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic pseudo-features: sha256-seeded uniform vector."""
-    digest = hashlib.sha256(payload).digest()
+    """Deterministic pseudo-features: sha256-seeded uniform vector (the
+    disclosed stub path for mime types without an in-sandbox codec)."""
+    digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.default_rng(seed)
     return rng.random(dim)
 
 
-def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list:
-    """Decode a batch of image binaries to feature vectors.
+def png_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image features from a decoded PNG: dimensions + global and
+    per-channel pixel statistics, zero-padded to the feature width.
+    Deterministic float64 — shared by the Spark stage and the oracle."""
+    px = decode_png(payload).astype(np.float64)
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    feats = [float(w), float(h), float(c),
+             float(flat.mean()), float(flat.std()),
+             float(flat.min()), float(flat.max())]
+    for ch in range(4):
+        feats.append(float(flat[:, ch].mean()) if ch < c else 0.0)
+    for ch in range(4):
+        feats.append(float(flat[:, ch].std()) if ch < c else 0.0)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return np.asarray(feats, dtype=np.float64)
 
-    Real decode requires an image library not present in this container.
-    """
+
+def media_features(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """Feature vector for one payload: REAL decode for PNG signatures,
+    the seeded fake for other mimes (when allowed)."""
+    p = bytes(payload)
+    if p.startswith(PNG_SIGNATURE):
+        return png_features(p)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; run with deterministic_fake=True "
-            "or install a codec and swap this function"
+            "only PNG decodes in this container (pure-Python codec); other "
+            "mimes need PIL/opencv/ffmpeg — run with deterministic_fake=True "
+            "or swap in a codec"
         )
-    return [_fake_features(p) for p in payloads]
+    return _fake_features(p)
+
+
+def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list:
+    """Decode a batch of image binaries to feature vectors: PNGs through
+    the real pure-Python decoder, everything else through the disclosed
+    deterministic-fake stub (or an error when fakes are not allowed)."""
+    return [media_features(p, deterministic_fake) for p in payloads]
 
 
 def extract_image_features(
