@@ -890,6 +890,52 @@ def _homophones_full_oracle_sql() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)
+def _langid_ft_model():
+    from pycorrector_spark.operators.langid_ft import train_langid
+
+    return train_langid()
+
+
+def q_langid_ft(spark, sf_dir):
+    """fastText-architecture language ID (hashed char 1-3-gram bag ->
+    averaged features -> linear -> softmax; operators/langid_ft.py,
+    deterministically trained driver-side, broadcast as two numpy
+    arrays) over the sf-scaled mixed pool. Oracle: per-pool-index
+    (label, softmax prob) from the identical model — probabilities as
+    exact frexp literals, so the hash check proves the distributed
+    scoring is bit-identical to the serial model."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    bc = _cached_bc(spark, "langid_ft", _langid_ft_model)
+
+    def fn(it):
+        model = bc.value
+        for pdf in it:
+            labels, probs = model.predict_batch(pdf["text"].fillna(""))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang_ft": labels, "prob": probs}
+            )
+
+    return ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL)).mapInPandas(
+        fn, "doc_id long, lang_ft string, prob double"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _langid_ft_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import PPL_POOL
+
+    model = _langid_ft_model()
+    rows = []
+    for i, s in enumerate(PPL_POOL):
+        lab, p = model.predict(s)
+        rows.append((i, (lab, float(p))))
+    return _pool_oracle_sql(len(PPL_POOL), ["lang_ft", "prob"], rows)
+
+
 def q_langid_agreement(spark, sf_dir):
     """A5-style confusion-matrix aggregation: claimed `lang` column vs
     computed lang_id — per-cell counts + mean confidence."""
@@ -1153,9 +1199,15 @@ def q_rel_top_nations(spark, sf_dir):
 
 def q_rel_events_daily(spark, sf_dir):
     # date_trunc buckets in the SESSION timezone; the DuckDB oracle
-    # truncates the naive/UTC value — pin UTC so a harness session built
-    # with a host-local timezone can't shift events across day boundaries
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # truncates the naive/UTC value — sessions built by session.get_spark
+    # pin UTC at construction (the real fix), and this guard covers
+    # harness-built sessions with a host-local timezone. A save/restore
+    # here would be unsound: the returned DataFrame is lazy, so the conf
+    # must still hold at execution time. Timestamp-sensitive callers on a
+    # non-UTC session should pin the timezone themselves (documented
+    # global effect; no-op on get_spark sessions).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _tbl(spark, sf_dir, "events")
     return (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
@@ -1223,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_homophones": q_homophones,
         "zh_homophones_full": q_homophones_full,
         "langid_agreement": q_langid_agreement,
+        "qf_langid_ft": q_langid_ft,
         "en_spell": q_en_spell,
         "qf_detect": q_detect,
         "zh_proper": q_proper,
@@ -1943,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "zh_s2t_phrase": _zh_s2t_phrase_oracle_sql(),
         "zh_homophones": _homophones_oracle_sql(),
         "zh_homophones_full": _homophones_full_oracle_sql(),
+        "qf_langid_ft": _langid_ft_oracle_sql(),
         "langid_agreement": _SIGNALS_CTE + """
             SELECT d.lang, s.lang_id, count(*) AS n_docs,
                    round(avg(s.lang_conf), 6) AS avg_conf

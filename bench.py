@@ -99,16 +99,18 @@ def run_pipeline_replicated(sf_dir: str, cpus: int, replicate: int) -> dict:
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _docs_as_webpages
-    from pycorrector_spark.operators.score import build_artifacts
+    from pycorrector_spark.operators.score import default_artifacts
     from pycorrector_spark.pipeline import run_quality_pipeline
 
     spark = _make_spark(cpus)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # broadcast built once (driver-side artifact build is setup, not
-    # steady-state throughput); input repartitioned BEFORE the replicate
-    # cross-join so the expansion itself runs in parallel, then cached so
-    # every timed run reads identical in-memory input.
-    bc = spark.sparkContext.broadcast(build_artifacts())
+    # steady-state throughput); FULL reference-scale dims — the honest
+    # production broadcast (58k-name word-freq + 30k-word en dict), same
+    # default as run_quality_pipeline. Input repartitioned BEFORE the
+    # replicate cross-join so the expansion itself runs in parallel, then
+    # cached so every timed run reads identical in-memory input.
+    bc = spark.sparkContext.broadcast(default_artifacts())
     # 8 tasks/core: waves are short enough that one slow partition costs
     # ~1/8 of a wave, not 1/4 (measured: 128 parts beats 64 by ~2% at 16
     # cores and 192 loses 20% to per-task overhead)
@@ -274,24 +276,35 @@ def run_skew(sf_dir: str, cpus: int, n_hot: int = 40_000) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: int = 128) -> dict:
+def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: int = 128,
+                rounds: int = 2) -> dict:
     """Same job on IDENTICAL input at N and 4N cores in fresh JVMs (sandbox
     stand-in for N vs 4N executors, per BASELINE.json north_rule); writes
-    BENCH/BASELINE.md."""
+    BENCH/BASELINE.md.
+
+    The legs are INTERLEAVED ``rounds`` times (N, 4N, N, 4N, ...) and each
+    leg reports its minimum time across rounds (on top of each child's own
+    best-of-3): this shared host shows ±30% steal-time windows lasting
+    minutes, so a single N/4N pairing can randomly land one leg in a slow
+    window and swing the measured efficiency by ±0.3 — per-leg minima
+    approximate the un-stolen machine on both sides of the ratio."""
     rows = {}
-    for cpus in (n_cores, n4_cores):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-replicated",
-             "--replicate", str(replicate), "--cpus", str(cpus), "--sf-dir", sf_dir],
-            capture_output=True, text=True, timeout=1800,
-        )
-        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling child (cpus={cpus}) failed rc={out.returncode}:\n"
-                + out.stderr[-2000:]
+    for _ in range(rounds):
+        for cpus in (n_cores, n4_cores):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-replicated",
+                 "--replicate", str(replicate), "--cpus", str(cpus), "--sf-dir", sf_dir],
+                capture_output=True, text=True, timeout=1800,
             )
-        rows[cpus] = json.loads(lines[-1])
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) failed rc={out.returncode}:\n"
+                    + out.stderr[-2000:]
+                )
+            got = json.loads(lines[-1])
+            if cpus not in rows or got["value"] < rows[cpus]["value"]:
+                rows[cpus] = got
 
     thr_n = rows[n_cores]["pipeline_docs_per_sec"]
     thr_4n = rows[n4_cores]["pipeline_docs_per_sec"]
@@ -315,10 +328,15 @@ def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: in
             "North rule: throughput scaling efficiency >= 0.8 between N and 4N\n"
             "executors. Sandbox stand-in (single host, no cluster): the same\n"
             f"job on identical input at local[{n_cores}] vs local[{n4_cores}] cores,\n"
-            "fresh JVM each, steady-state timing (best of 3 after worker-pool\n"
-            "warm-up; broadcast build and input cache are setup, not throughput).\n"
+            "fresh JVM each, steady-state timing (per-leg minimum over\n"
+            f"{rounds} interleaved rounds x best-of-3 in-child, after worker-pool\n"
+            "warm-up; broadcast build and input cache are setup, not throughput —\n"
+            "per-leg minima because this shared host shows multi-minute +-30%\n"
+            "steal windows that would otherwise dominate the ratio).\n"
             f"Input = sf docs table replicated {replicate}x (distinct urls) so the\n"
-            "run is compute-bound rather than dominated by per-job fixed costs.\n\n"
+            "run is compute-bound rather than dominated by per-job fixed costs.\n"
+            "Pipeline dims = the FULL production broadcast (58k-name word-freq,\n"
+            "30k-word en dict) — the honest steady-state configuration.\n\n"
             f"{n_cores} vs {n4_cores} (not 8 vs 32): a local[N] Python-stage job uses\n"
             "N JVM task threads PLUS N Python workers; on this 32-core host both\n"
             "levels must fit without oversubscription or the measurement captures\n"
