@@ -1244,6 +1244,43 @@ def q_rel_sessionize(spark, sf_dir):
     )
 
 
+def _webpages(spark, sf_dir):
+    """documents folded into deterministic multi-line pages (webrules)."""
+    from pycorrector_spark.operators.webrules import with_webpage_text
+
+    return with_webpage_text(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher §A1.1 repetition/structure signals + keep flag, computed as
+    pure codegen'd array expressions over the synthesized pages."""
+    from pycorrector_spark.operators.webrules import with_gopher_columns
+
+    return with_gopher_columns(_webpages(spark, sf_dir)).select(
+        "doc_id", "n_lines", "n_paras", "gw_words",
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "dup_5gram_frac", "mean_word_len",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "gopher_keep",
+    )
+
+
+def q_top_ngram(spark, sf_dir):
+    """Most frequent word bigram per page (relational explode+agg path)."""
+    from pycorrector_spark.operators.webrules import top_ngram_frac
+
+    return top_ngram_frac(_webpages(spark, sf_dir), n=2)
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 §2.2 line filter: retained text + keep decision per page."""
+    from pycorrector_spark.operators.webrules import with_c4_filter
+
+    return with_c4_filter(_webpages(spark, sf_dir)).select(
+        "doc_id", "c4_text", "c4_n_kept", "c4_keep"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_quality_signals": q_quality_signals,
@@ -1261,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_lm_ppl_binary": q_lm_ppl_binary,
         "qf_pipeline_full": q_pipeline_full,
         "qf_pipeline_pool": q_pipeline_pool,
+        "qf_gopher_rules": q_gopher_rules,
+        "qf_top_ngram": q_top_ngram,
+        "qf_c4_filter": q_c4_filter,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1847,8 +1887,137 @@ def _homophones_oracle_sql() -> str:
     """
 
 
+def _webrules_oracles() -> dict[str, str]:
+    """Oracles for the Gopher/C4 web-rules queries. The page-synthesis CTE
+    and every threshold literal come from webrules' frozen constants, so
+    Spark expression and SQL mirror cannot drift independently."""
+    from pycorrector_spark.operators import webrules as W
+
+    cte = W.webpage_text_cte()
+    stop_arr = "[" + ", ".join(_sq(s) for s in W.STOPWORDS) + "]"
+    gopher = cte + f"""
+        , sig AS (
+          SELECT doc_id,
+                 list_filter(string_split(page_text, chr(10)), x -> x <> '') AS lines,
+                 list_filter(regexp_split_to_array(page_text, chr(10) || chr(10)), x -> x <> '') AS paras,
+                 list_filter(regexp_split_to_array(page_text, '[ \t\n\r]+'), x -> x <> '') AS words
+          FROM web
+        ), sig2 AS (
+          SELECT doc_id, lines, paras, words,
+                 len(lines) AS n_lines,
+                 len(list_distinct(lines)) AS nd_lines,
+                 coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS lc,
+                 coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS lc_d,
+                 len(paras) AS n_paras,
+                 len(list_distinct(paras)) AS nd_paras,
+                 coalesce(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0) AS pc,
+                 coalesce(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0) AS pc_d,
+                 len(words) AS nw,
+                 coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0) AS wc,
+                 CASE WHEN len(words) >= 5 THEN
+                   list_transform(generate_series(1, len(words) - 4), i ->
+                     array_to_string(list_slice(words, i, i + 4), ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS g5
+          FROM sig
+        ), sig3 AS (
+          SELECT doc_id, n_lines, n_paras, nw AS gw_words,
+                 CASE WHEN n_lines > 0 THEN (n_lines - nd_lines) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+                 CASE WHEN lc > 0 THEN (lc - lc_d) / CAST(lc AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+                 CASE WHEN n_paras > 0 THEN (n_paras - nd_paras) / CAST(n_paras AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+                 CASE WHEN pc > 0 THEN (pc - pc_d) / CAST(pc AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac,
+                 CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5))) / CAST(len(g5) AS DOUBLE) ELSE 0.0 END AS dup_5gram_frac,
+                 CASE WHEN nw > 0 THEN wc / CAST(nw AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_lines > 0 THEN
+                   len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ') OR starts_with(x, '• '))) / CAST(n_lines AS DOUBLE)
+                 ELSE 0.0 END AS bullet_line_frac,
+                 CASE WHEN n_lines > 0 THEN
+                   len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) / CAST(n_lines AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_line_frac,
+                 CASE WHEN nw > 0 THEN
+                   len(list_filter(words, x -> regexp_matches(x, '{W.ALPHA_WORD_RE}'))) / CAST(nw AS DOUBLE)
+                 ELSE 0.0 END AS alpha_word_frac,
+                 len(list_filter({stop_arr}, s -> list_contains(words, s))) AS stopword_hits
+          FROM sig2
+        )
+        SELECT doc_id, n_lines, n_paras, gw_words,
+               dup_line_frac, dup_line_char_frac, dup_para_frac,
+               dup_para_char_frac, dup_5gram_frac, mean_word_len,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               stopword_hits,
+               (gw_words >= {W.GOPHER_MIN_WORDS} AND gw_words <= {W.GOPHER_MAX_WORDS}
+                AND mean_word_len >= {_dlit(W.GOPHER_MIN_MEAN_WORD_LEN)}
+                AND mean_word_len <= {_dlit(W.GOPHER_MAX_MEAN_WORD_LEN)}
+                AND dup_line_frac <= {_dlit(W.GOPHER_MAX_DUP_LINE_FRAC)}
+                AND dup_line_char_frac <= {_dlit(W.GOPHER_MAX_DUP_LINE_CHAR_FRAC)}
+                AND dup_para_frac <= {_dlit(W.GOPHER_MAX_DUP_PARA_FRAC)}
+                AND dup_para_char_frac <= {_dlit(W.GOPHER_MAX_DUP_PARA_CHAR_FRAC)}
+                AND dup_5gram_frac <= {_dlit(W.GOPHER_MAX_DUP_5GRAM_FRAC)}
+                AND bullet_line_frac <= {_dlit(W.GOPHER_MAX_BULLET_FRAC)}
+                AND ellipsis_line_frac <= {_dlit(W.GOPHER_MAX_ELLIPSIS_FRAC)}
+                AND alpha_word_frac >= {_dlit(W.GOPHER_MIN_ALPHA_WORD_FRAC)}
+                AND stopword_hits >= {W.GOPHER_MIN_STOPWORD_HITS}) AS gopher_keep
+        FROM sig3
+    """
+    top_ngram = cte + """
+        , wds AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(page_text, '[ \t\n\r]+'), x -> x <> '') AS w
+          FROM web
+        ), tot AS (
+          SELECT doc_id,
+                 coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS total_wchars,
+                 w
+          FROM wds
+        ), bg AS (
+          SELECT doc_id, total_wchars,
+                 unnest(CASE WHEN len(w) >= 2 THEN
+                   list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END) AS gram
+          FROM tot
+        ), cnt AS (
+          SELECT doc_id, total_wchars, gram, count(*) AS top_cnt
+          FROM bg GROUP BY doc_id, total_wchars, gram
+        ), rk AS (
+          SELECT doc_id, gram, top_cnt, total_wchars,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY top_cnt DESC, gram ASC) AS rn
+          FROM cnt
+        )
+        SELECT doc_id, gram AS top_gram, top_cnt,
+               top_cnt * length(replace(gram, ' ', '')) / CAST(total_wchars AS DOUBLE) AS top_ngram_char_frac
+        FROM rk WHERE rn = 1
+    """
+    bad_line = " AND ".join(
+        f"NOT contains(lower(x), {_sq(s)})" for s in W.C4_BAD_LINE_SUBSTRINGS
+    )
+    bad_doc = " OR ".join(
+        f"contains(lower(page_text), {_sq(s)})" for s in W.C4_BAD_DOC_SUBSTRINGS
+    )
+    c4 = cte + f"""
+        , c4 AS (
+          SELECT doc_id, page_text,
+                 list_filter(
+                   list_filter(string_split(page_text, chr(10)), x -> x <> ''),
+                   x -> len(list_filter(string_split(x, ' '), t -> t <> '')) >= {W.C4_MIN_WORDS_PER_LINE}
+                        AND regexp_matches(x, '{W.C4_TERMINAL_PUNCT_RE}')
+                        AND {bad_line}) AS kept
+          FROM web
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+               len(kept) AS c4_n_kept,
+               (len(kept) >= {W.C4_MIN_KEPT_LINES} AND NOT ({bad_doc})) AS c4_keep
+        FROM c4
+    """
+    return {
+        "qf_gopher_rules": gopher,
+        "qf_top_ngram": top_ngram,
+        "qf_c4_filter": c4,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_webrules_oracles(),
         "qf_quality_signals": _SIGNALS_CTE + """
             SELECT doc_id, n_chars, n_words, symbol_ratio, rep_ratio, len_ok FROM sig2
         """,

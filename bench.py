@@ -66,6 +66,8 @@ def bench_queries():
         "qf_scrub": q["qf_scrub"],
         "qf_lm_ppl": q["qf_lm_ppl"],
         "tok_counts": q["tok_counts"],
+        "qf_gopher_rules": q["qf_gopher_rules"],
+        "qf_c4_filter": q["qf_c4_filter"],
         "dedup_exact": q["dedup_exact"],
         "dedup_jaccard": q["dedup_jaccard"],
         "dedup_minhash": minhash_bench,
