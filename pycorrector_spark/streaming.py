@@ -16,14 +16,19 @@ Continuous ingestion shape at production scale::
 - The audit aggregation is per-micro-batch via ``foreachBatch`` (the batch
   ``audit_frame`` reused verbatim — same lineage/metrics rows, keyed by the
   epoch id instead of a run uuid).
-- No watermarks/stateful ops needed: the pipeline is per-document pure, so
-  late data is just... data. (Windowed/stateful patterns would enter only
-  for cross-document aggregations, which the reference does not have.)
+- The score stage itself needs no watermarks/stateful ops: the pipeline is
+  per-document pure, so late data is just... data. Cross-document stream
+  state enters with the two operators below — continuous exact dedup
+  (``stream_dedup_first_seen``: a re-crawled url/text arriving in a later
+  micro-batch must not re-emit) and windowed per-host crawl metrics
+  (``stream_host_metrics``: watermarked event-time windows so the state
+  store provably stops growing).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .operators.score import default_artifacts, make_score_stage
@@ -101,3 +106,117 @@ def run_streaming_pipeline(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# stateful operators
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_first_seen(
+    docs: DataFrame, key_expr: str = "md5(coalesce(text, ''))"
+) -> DataFrame:
+    """Continuous exact dedup: emit each document the FIRST time its
+    content key is seen across the whole stream; suppress every later
+    arrival (re-crawls, mirror hosts).
+
+    This is the streaming counterpart of ``operators.dedup.exact_dedup``
+    — the batch op's one-shuffle groupBy becomes a keyed state lookup via
+    ``applyInPandasWithState``: state per content key is the running
+    occurrence count; only the first micro-batch occurrence yields an
+    output row. Per-batch duplicates are collapsed inside the
+    same invocation (the grouped iterator hands all of a key's batch rows
+    to one call), so exactly-once emission holds within and across
+    batches.
+
+    State sizing at scale: one ~50-byte row per distinct document key,
+    hash-partitioned across executors by the same key the shuffle already
+    uses — the state store scales with CORPUS DISTINCT SIZE, which is the
+    irreducible minimum for exact streaming dedup. (Probabilistic
+    relaxations — a Bloom filter per partition — trade that floor for
+    false-positive drops; out of scope because the reference's dedup is
+    exact, ngram_util.py containment.)
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    keyed = docs.withColumn("dedup_key", F.expr(key_expr))
+    # carry url + text through; first-wins within a batch is defined by
+    # url order (deterministic for a parquet micro-batch: file+row order)
+    out_schema = (
+        "dedup_key string, url string, text string, first_in_batch long"
+    )
+    state_schema = "n_seen long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        n_new = 0
+        first_row = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if first_row is None:
+                first_row = pdf.iloc[0]
+            n_new += len(pdf)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + n_new,))
+            return iter([])  # key already emitted in an earlier batch
+        state.update((n_new,))
+        if first_row is None:
+            return iter([])
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "dedup_key": [key[0]],
+                        "url": [first_row["url"]],
+                        "text": [first_row["text"]],
+                        "first_in_batch": [n_new],
+                    }
+                )
+            ]
+        )
+
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_host_metrics(
+    docs: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-host event-time window metrics (crawl monitoring):
+    docs + distinct-url estimate + mean text length per (window, host).
+
+    Pure built-in stateful aggregation — watermark bounds the state store
+    (windows older than ``max(event_time) - delay`` are finalized and
+    evicted), which is what makes this runnable forever at crawl scale.
+    ``approx_count_distinct`` instead of ``countDistinct`` because exact
+    distinct inside a streaming window would buffer every url in state.
+    """
+    from .pipeline import _host_of
+
+    return (
+        docs.withWatermark("warc_ts", watermark_delay)
+        .groupBy(
+            F.window("warc_ts", window_duration).alias("win"),
+            _host_of(F.col("url")).alias("host"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+            F.avg(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("mean_len"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host", "n_docs", "n_urls_approx", "mean_len",
+        )
+    )
