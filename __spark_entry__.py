@@ -1281,6 +1281,51 @@ def q_c4_filter(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """WARC-shape html round-trip: synthesize deterministic markup around
+    each page, run the JVM-regex extractor, assert the north-rule
+    invariant (byte-identical extracted text per url) per row."""
+    from pycorrector_spark.operators.htmlx import with_html_roundtrip
+
+    return with_html_roundtrip(_webpages(spark, sf_dir)).select(
+        "doc_id", "n_html_bytes", "extracted_text", "byte_identical"
+    )
+
+
+def q_toxicity(spark, sf_dir):
+    """Word-blocklist toxicity filter. Synthetic docs are clean, so every
+    13th doc gets one blocklist word appended (mirrored in the oracle) to
+    make both keep and drop branches non-vacuous."""
+    from pycorrector_spark.operators.htmlx import TOXIC_WORDS, with_toxicity
+
+    toxic_arr = F.array(*[F.lit(w) for w in TOXIC_WORDS])
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" "),
+                F.element_at(toxic_arr, (F.col("doc_id") % len(TOXIC_WORDS)).cast("int") + 1),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return with_toxicity(docs).select(
+        "doc_id", "n_words", "toxic_hits", "toxic_frac", "toxicity_keep"
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """URL curation: synthesize messy urls (case/ports/utm/fragments, two
+    blocklisted hosts), normalize, and emit the keep flag."""
+    from pycorrector_spark.operators.htmlx import synth_url_expr, with_url_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", synth_url_expr(F.col("doc_id")).alias("url")
+    )
+    return with_url_filter(docs).select("doc_id", "url", "norm_url", "host", "url_keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_quality_signals": q_quality_signals,
@@ -1301,6 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_gopher_rules": q_gopher_rules,
         "qf_top_ngram": q_top_ngram,
         "qf_c4_filter": q_c4_filter,
+        "qf_html_extract": q_html_extract,
+        "qf_toxicity": q_toxicity,
+        "qf_url_filter": q_url_filter,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1887,6 +1935,79 @@ def _homophones_oracle_sql() -> str:
     """
 
 
+def _htmlx_oracles() -> dict[str, str]:
+    """Oracles for the html-extract / toxicity / url-filter queries — every
+    regex, entity table, blocklist and threshold is interpolated from
+    htmlx's frozen constants (same objects the Spark expressions use)."""
+    from pycorrector_spark.operators import htmlx as H
+    from pycorrector_spark.operators import webrules as W
+    from pycorrector_spark.textops import WORD_SPLIT_PATTERN
+
+    cte = W.webpage_text_cte()
+    html = H.synth_html_sql("doc_id", "page_text")
+    extracted = H.extract_text_sql("decode(html)")
+    html_extract = cte + f"""
+        , h AS (
+          SELECT doc_id, page_text, encode({html}) AS html FROM web
+        ), e AS (
+          SELECT doc_id,
+                 octet_length(html) AS n_html_bytes,
+                 {extracted} AS extracted_text,
+                 page_text
+          FROM h
+        )
+        SELECT doc_id, n_html_bytes, extracted_text,
+               encode(extracted_text) = encode(coalesce(page_text, '')) AS byte_identical
+        FROM e
+    """
+
+    toxic_arr = "[" + ", ".join(_sq(w) for w in H.TOXIC_WORDS) + "]"
+    toxicity = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN coalesce(text, '') || ' ' ||
+                           list_extract({toxic_arr}, CAST(doc_id % {len(H.TOXIC_WORDS)} AS INT) + 1)
+                      ELSE text END AS text
+          FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(coalesce(text, ''), '{WORD_SPLIT_PATTERN}'),
+                             x -> x <> '') AS words
+          FROM t
+        ), s AS (
+          SELECT doc_id, len(words) AS n_words,
+                 len(list_filter(words, x -> list_contains({toxic_arr}, lower(x)))) AS toxic_hits
+          FROM w
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(toxic_hits AS BIGINT) AS toxic_hits,
+               CASE WHEN n_words > 0 THEN toxic_hits / CAST(n_words AS DOUBLE) ELSE 0.0 END AS toxic_frac,
+               (CASE WHEN n_words > 0 THEN toxic_hits / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+                 <= {_dlit(H.TOXICITY_MAX_FRAC)} AS toxicity_keep
+        FROM s
+    """
+
+    blocked = "[" + ", ".join(_sq(h) for h in H.BLOCKED_HOSTS) + "]"
+    norm = H.normalize_url_sql("url")
+    url_filter = f"""
+        WITH u AS (
+          SELECT doc_id, {H.synth_url_sql("doc_id")} AS url FROM documents
+        ), n AS (
+          SELECT doc_id, url, {norm} AS norm_url FROM u
+        )
+        SELECT doc_id, url, norm_url,
+               regexp_extract(norm_url, '{H.URL_AUTH_RE}', 1) AS host,
+               NOT list_contains({blocked}, regexp_extract(norm_url, '{H.URL_AUTH_RE}', 1)) AS url_keep
+        FROM n
+    """
+    return {
+        "qf_html_extract": html_extract,
+        "qf_toxicity": toxicity,
+        "qf_url_filter": url_filter,
+    }
+
+
 def _webrules_oracles() -> dict[str, str]:
     """Oracles for the Gopher/C4 web-rules queries. The page-synthesis CTE
     and every threshold literal come from webrules' frozen constants, so
@@ -2018,6 +2139,7 @@ def _webrules_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_webrules_oracles(),
+        **_htmlx_oracles(),
         "qf_quality_signals": _SIGNALS_CTE + """
             SELECT doc_id, n_chars, n_words, symbol_ratio, rep_ratio, len_ok FROM sig2
         """,

@@ -68,6 +68,8 @@ def bench_queries():
         "tok_counts": q["tok_counts"],
         "qf_gopher_rules": q["qf_gopher_rules"],
         "qf_c4_filter": q["qf_c4_filter"],
+        "qf_html_extract": q["qf_html_extract"],
+        "qf_url_filter": q["qf_url_filter"],
         "dedup_exact": q["dedup_exact"],
         "dedup_jaccard": q["dedup_jaccard"],
         "dedup_minhash": minhash_bench,
