@@ -1326,6 +1326,56 @@ def q_url_filter(spark, sf_dir):
     return with_url_filter(docs).select("doc_id", "url", "norm_url", "host", "url_keep")
 
 
+def q_web_pipeline(spark, sf_dir):
+    """End-to-end web quality filter over the WARC-shaped input: url
+    curation -> html text extraction -> language ID -> Gopher repetition
+    rules -> C4 line filter -> toxicity -> PII scrub, emitting the final
+    keep/drop label with a first-failing-stage drop_reason and the
+    scrubbed retained text. One zero-shuffle codegen map stage per row;
+    the whole chain is SQL-mirrored, so the driver hash-checks the
+    complete keep/drop contract (the north-rule deliverable)."""
+    from pycorrector_spark.config import DEFAULT_CONFIG as C
+    from pycorrector_spark.operators import htmlx as H
+    from pycorrector_spark.operators.quality import with_lang_id, with_scrubbed
+    from pycorrector_spark.operators.webrules import (
+        webpage_text_expr, with_c4_filter, with_gopher_columns,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # WARC stand-in: deterministic page markup + messy url per doc
+    df = d.select(
+        "doc_id",
+        H.synth_url_expr(F.col("doc_id")).alias("url"),
+        F.encode(
+            H.synth_html_expr(F.col("doc_id"), webpage_text_expr(F.col("doc_id"), F.col("text"))),
+            "utf-8",
+        ).alias("html"),
+    )
+    df = H.with_url_filter(df)
+    df = df.withColumn("page_text", H.extract_text_expr(F.decode(F.col("html"), "utf-8")))
+    df = with_lang_id(df, "page_text")
+    df = with_gopher_columns(df)
+    df = with_c4_filter(df)
+    df = H.with_toxicity(df, "page_text")
+    df = with_scrubbed(df, "c4_text", "scrubbed_text")
+    reason = (
+        F.when(~F.col("url_keep"), F.lit("url"))
+        .when(~F.col("lang_id").isin(*C.allowed_langs), F.lit("lang"))
+        .when(~F.col("gopher_keep"), F.lit("gopher"))
+        .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(~F.col("toxicity_keep"), F.lit("toxicity"))
+        .otherwise(F.lit(""))
+    )
+    return df.select(
+        "doc_id",
+        "norm_url",
+        "lang_id",
+        (reason == "").alias("keep"),
+        reason.alias("drop_reason"),
+        "scrubbed_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_quality_signals": q_quality_signals,
@@ -1349,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_html_extract": q_html_extract,
         "qf_toxicity": q_toxicity,
         "qf_url_filter": q_url_filter,
+        "qf_web_pipeline": q_web_pipeline,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -2001,28 +2052,98 @@ def _htmlx_oracles() -> dict[str, str]:
                NOT list_contains({blocked}, regexp_extract(norm_url, '{H.URL_AUTH_RE}', 1)) AS url_keep
         FROM n
     """
+    # --- composed end-to-end pipeline: every stage fragment above chained
+    # over the extracted text, with first-failing-stage drop_reason ---
+    from pycorrector_spark.config import DEFAULT_CONFIG as C
+    from pycorrector_spark.textops import SCRUB_PATTERNS
+
+    scrub = "coalesce(c4_text, '')"
+    for _name, pat, rep in SCRUB_PATTERNS:
+        scrub = f"regexp_replace({scrub}, {_sq(pat)}, {_sq(rep)}, 'g')"
+    scrub = f"trim({scrub}, {_WS})"
+    allowed = ", ".join(_sq(l) for l in C.allowed_langs)
+    web_pipeline = cte + f"""
+        , h AS (
+          SELECT doc_id, encode({html}) AS html FROM web
+        ), ext AS (
+          SELECT doc_id, {extracted} AS page_text FROM h
+        ), u AS (
+          SELECT doc_id, {H.synth_url_sql("doc_id")} AS url FROM documents
+        ), ukeep AS (
+          SELECT doc_id, {norm} AS norm_url,
+                 NOT list_contains({blocked},
+                     regexp_extract({norm}, '{H.URL_AUTH_RE}', 1)) AS url_keep
+          FROM u
+        ), lid0 AS (
+          SELECT doc_id,
+                 length(page_text) - length(regexp_replace(page_text, '{_WS_PAT}', '', 'g')) AS n_ns,
+                 length(page_text) - length(regexp_replace(page_text, '[一-龥]', '', 'g')) AS n_cjk,
+                 length(page_text) - length(regexp_replace(page_text, '[A-Za-z]', '', 'g')) AS n_latin
+          FROM ext
+        ), lid AS (
+          SELECT doc_id,
+                 CASE WHEN n_ns <= 0 THEN 'und'
+                      WHEN n_cjk / n_ns >= 0.3 THEN 'zh'
+                      WHEN n_latin / n_ns >= 0.5 THEN 'en'
+                      ELSE 'und' END AS lang_id
+          FROM lid0
+        )
+        {_gopher_frag("ext")}
+        {_c4_frag("ext")}
+        , toxw AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(coalesce(page_text, ''), '{_SPLIT_PAT}'),
+                             x -> x <> '') AS words
+          FROM ext
+        ), tox AS (
+          SELECT doc_id,
+                 (CASE WHEN len(words) > 0
+                       THEN len(list_filter(words, x -> list_contains({toxic_arr}, lower(x)))) / CAST(len(words) AS DOUBLE)
+                       ELSE 0.0 END) <= {_dlit(H.TOXICITY_MAX_FRAC)} AS toxicity_keep
+          FROM toxw
+        ), fin AS (
+          SELECT e.doc_id, u.norm_url, l.lang_id,
+                 CASE WHEN NOT u.url_keep THEN 'url'
+                      WHEN l.lang_id NOT IN ({allowed}) THEN 'lang'
+                      WHEN NOT g.gopher_keep THEN 'gopher'
+                      WHEN NOT c.c4_keep THEN 'c4'
+                      WHEN NOT t.toxicity_keep THEN 'toxicity'
+                      ELSE '' END AS drop_reason,
+                 {scrub} AS scrubbed_text
+          FROM ext e
+          JOIN ukeep u USING (doc_id)
+          JOIN lid l ON l.doc_id = e.doc_id
+          JOIN gkeep g ON g.doc_id = e.doc_id
+          JOIN c4res c ON c.doc_id = e.doc_id
+          JOIN tox t ON t.doc_id = e.doc_id
+        )
+        SELECT doc_id, norm_url, lang_id,
+               drop_reason = '' AS keep, drop_reason, scrubbed_text
+        FROM fin
+    """
     return {
         "qf_html_extract": html_extract,
         "qf_toxicity": toxicity,
         "qf_url_filter": url_filter,
+        "qf_web_pipeline": web_pipeline,
     }
 
 
-def _webrules_oracles() -> dict[str, str]:
-    """Oracles for the Gopher/C4 web-rules queries. The page-synthesis CTE
-    and every threshold literal come from webrules' frozen constants, so
-    Spark expression and SQL mirror cannot drift independently."""
+def _gopher_frag(rel: str) -> str:
+    """CTE fragment computing the Gopher signals + ``gopher_keep`` over
+    ``(doc_id, page_text)`` rows of ``{rel}``, ending in a ``gkeep``
+    relation. Every threshold literal comes from webrules' frozen
+    constants, so the Spark expression and SQL mirror cannot drift."""
     from pycorrector_spark.operators import webrules as W
 
-    cte = W.webpage_text_cte()
     stop_arr = "[" + ", ".join(_sq(s) for s in W.STOPWORDS) + "]"
-    gopher = cte + f"""
+    return f"""
         , sig AS (
           SELECT doc_id,
                  list_filter(string_split(page_text, chr(10)), x -> x <> '') AS lines,
                  list_filter(regexp_split_to_array(page_text, chr(10) || chr(10)), x -> x <> '') AS paras,
                  list_filter(regexp_split_to_array(page_text, '[ \t\n\r]+'), x -> x <> '') AS words
-          FROM web
+          FROM {rel}
         ), sig2 AS (
           SELECT doc_id, lines, paras, words,
                  len(lines) AS n_lines,
@@ -2059,7 +2180,7 @@ def _webrules_oracles() -> dict[str, str]:
                  ELSE 0.0 END AS alpha_word_frac,
                  len(list_filter({stop_arr}, s -> list_contains(words, s))) AS stopword_hits
           FROM sig2
-        )
+        ), gkeep AS (
         SELECT doc_id, n_lines, n_paras, gw_words,
                dup_line_frac, dup_line_char_frac, dup_para_frac,
                dup_para_char_frac, dup_5gram_frac, mean_word_len,
@@ -2078,6 +2199,53 @@ def _webrules_oracles() -> dict[str, str]:
                 AND alpha_word_frac >= {_dlit(W.GOPHER_MIN_ALPHA_WORD_FRAC)}
                 AND stopword_hits >= {W.GOPHER_MIN_STOPWORD_HITS}) AS gopher_keep
         FROM sig3
+        )
+    """
+
+
+def _c4_frag(rel: str) -> str:
+    """CTE fragment computing the C4 line filter over ``(doc_id,
+    page_text)`` rows of ``{rel}``, ending in a ``c4res`` relation."""
+    from pycorrector_spark.operators import webrules as W
+
+    bad_line = " AND ".join(
+        f"NOT contains(lower(x), {_sq(s)})" for s in W.C4_BAD_LINE_SUBSTRINGS
+    )
+    bad_doc = " OR ".join(
+        f"contains(lower(page_text), {_sq(s)})" for s in W.C4_BAD_DOC_SUBSTRINGS
+    )
+    return f"""
+        , c4 AS (
+          SELECT doc_id, page_text,
+                 list_filter(
+                   list_filter(string_split(page_text, chr(10)), x -> x <> ''),
+                   x -> len(list_filter(string_split(x, ' '), t -> t <> '')) >= {W.C4_MIN_WORDS_PER_LINE}
+                        AND regexp_matches(x, '{W.C4_TERMINAL_PUNCT_RE}')
+                        AND {bad_line}) AS kept
+          FROM {rel}
+        ), c4res AS (
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+               len(kept) AS c4_n_kept,
+               (len(kept) >= {W.C4_MIN_KEPT_LINES} AND NOT ({bad_doc})) AS c4_keep
+        FROM c4
+        )
+    """
+
+
+def _webrules_oracles() -> dict[str, str]:
+    """Oracles for the Gopher/C4 web-rules queries, assembled from the
+    parameterized fragments above over the synthesized ``web`` pages."""
+    from pycorrector_spark.operators import webrules as W
+
+    cte = W.webpage_text_cte()
+    gopher = cte + _gopher_frag("web") + """
+        SELECT doc_id, n_lines, n_paras, gw_words,
+               dup_line_frac, dup_line_char_frac, dup_para_frac,
+               dup_para_char_frac, dup_5gram_frac, mean_word_len,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               stopword_hits, gopher_keep
+        FROM gkeep
     """
     top_ngram = cte + """
         , wds AS (
@@ -2107,27 +2275,8 @@ def _webrules_oracles() -> dict[str, str]:
                top_cnt * length(replace(gram, ' ', '')) / CAST(total_wchars AS DOUBLE) AS top_ngram_char_frac
         FROM rk WHERE rn = 1
     """
-    bad_line = " AND ".join(
-        f"NOT contains(lower(x), {_sq(s)})" for s in W.C4_BAD_LINE_SUBSTRINGS
-    )
-    bad_doc = " OR ".join(
-        f"contains(lower(page_text), {_sq(s)})" for s in W.C4_BAD_DOC_SUBSTRINGS
-    )
-    c4 = cte + f"""
-        , c4 AS (
-          SELECT doc_id, page_text,
-                 list_filter(
-                   list_filter(string_split(page_text, chr(10)), x -> x <> ''),
-                   x -> len(list_filter(string_split(x, ' '), t -> t <> '')) >= {W.C4_MIN_WORDS_PER_LINE}
-                        AND regexp_matches(x, '{W.C4_TERMINAL_PUNCT_RE}')
-                        AND {bad_line}) AS kept
-          FROM web
-        )
-        SELECT doc_id,
-               coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
-               len(kept) AS c4_n_kept,
-               (len(kept) >= {W.C4_MIN_KEPT_LINES} AND NOT ({bad_doc})) AS c4_keep
-        FROM c4
+    c4 = cte + _c4_frag("web") + """
+        SELECT doc_id, c4_text, c4_n_kept, c4_keep FROM c4res
     """
     return {
         "qf_gopher_rules": gopher,

@@ -70,6 +70,7 @@ def bench_queries():
         "qf_c4_filter": q["qf_c4_filter"],
         "qf_html_extract": q["qf_html_extract"],
         "qf_url_filter": q["qf_url_filter"],
+        "qf_web_pipeline": q["qf_web_pipeline"],
         "dedup_exact": q["dedup_exact"],
         "dedup_jaccard": q["dedup_jaccard"],
         "dedup_minhash": minhash_bench,

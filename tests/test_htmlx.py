@@ -125,3 +125,31 @@ def test_url_filter_blocklist(spark):
         assert r.host == r.host.lower()
     # residues 2 and 4 of doc_id % 5 are the blocklisted hosts
     assert sum(not r.url_keep for r in out) == 4
+
+
+# ---------------------------------------------------------------------------
+# composed web pipeline (driver query)
+# ---------------------------------------------------------------------------
+
+
+def test_web_pipeline_precedence_and_contract(spark):
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    rows = entry_mod.queries()["qf_web_pipeline"](spark, sf).collect()
+    reasons = {r.drop_reason for r in rows}
+    assert reasons <= {"", "url", "lang", "gopher", "c4", "toxicity"}
+    assert "" in reasons and "url" in reasons  # both outcomes non-vacuous
+    for r in rows:
+        assert r.keep == (r.drop_reason == "")
+        # url curation is the first gate: blocklisted hosts (doc_id%5 in
+        # {2,4}) must fail as 'url' regardless of downstream stages
+        if r.doc_id % 5 in (2, 4):
+            assert r.drop_reason == "url"
+        assert "utm_" not in r.norm_url and "#" not in r.norm_url
