@@ -1326,6 +1326,15 @@ def q_url_filter(spark, sf_dir):
     return with_url_filter(docs).select("doc_id", "url", "norm_url", "host", "url_keep")
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-frequency line dedup: lines shared by more than
+    LINE_DEDUP_MAX_DF distinct documents (the synthesized boilerplate
+    banner) are removed from every page."""
+    from pycorrector_spark.operators.webrules import corpus_line_dedup
+
+    return corpus_line_dedup(_webpages(spark, sf_dir))
+
+
 def q_web_pipeline(spark, sf_dir):
     """End-to-end web quality filter over the WARC-shaped input: url
     curation -> html text extraction -> language ID -> Gopher repetition
@@ -1400,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_toxicity": q_toxicity,
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
+        "qf_line_dedup": q_line_dedup,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -2278,10 +2288,31 @@ def _webrules_oracles() -> dict[str, str]:
     c4 = cte + _c4_frag("web") + """
         SELECT doc_id, c4_text, c4_n_kept, c4_keep FROM c4res
     """
+    line_dedup = cte + f"""
+        , lt AS (
+          SELECT doc_id, string_split(page_text, chr(10)) AS lines FROM web
+        ), dfreq AS (
+          SELECT line, count(DISTINCT doc_id) AS line_df
+          FROM (SELECT doc_id, unnest(lines) AS line FROM lt)
+          WHERE line <> '' GROUP BY line
+        ), droplist AS (
+          SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS dl
+          FROM dfreq WHERE line_df > {W.LINE_DEDUP_MAX_DF}
+        ), clean AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, x -> x = '' OR NOT list_contains(dl, x)) AS kept
+          FROM lt CROSS JOIN droplist
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS clean_text,
+               CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped_lines
+        FROM clean
+    """
     return {
         "qf_gopher_rules": gopher,
         "qf_top_ngram": top_ngram,
         "qf_c4_filter": c4,
+        "qf_line_dedup": line_dedup,
     }
 
 

@@ -346,3 +346,74 @@ def with_c4_filter(df: DataFrame, text_col: str = "page_text") -> DataFrame:
         .withColumn("c4_n_kept", F.size(kept))
         .withColumn("c4_keep", (F.size(kept) >= C4_MIN_KEPT_LINES) & ~doc_bad)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-frequency line dedup (cross-document boilerplate)
+# ---------------------------------------------------------------------------
+
+# a line appearing in more than this many DISTINCT documents is corpus
+# boilerplate (nav bars, cookie banners, footers) and is removed from
+# every document. CCNet (Wenzek et al. 2020 §4.1) does exactly this with
+# paragraph hashes over each Common-Crawl shard.
+LINE_DEDUP_MAX_DF = 100
+
+
+def corpus_line_dedup(df: DataFrame, text_col: str = "page_text",
+                      max_line_df: int = LINE_DEDUP_MAX_DF) -> DataFrame:
+    """Remove lines that occur in more than ``max_line_df`` distinct
+    documents; return ``(doc_id, clean_text, n_dropped_lines)``.
+
+    Unlike the per-document Gopher/C4 rules this is a CORPUS-level
+    operator: the line->document-frequency table is an aggregation over
+    the whole input. Plan shape (100 TB):
+
+    1. ``posexplode`` lines (empty separator lines pass through untouched
+       — they carry the paragraph structure and are never boilerplate).
+    2. One map-side-combined ``groupBy(line)`` with ``countDistinct`` to
+       find the drop set. The drop set is tiny by construction — only
+       lines shared by >``max_line_df`` documents — so the subsequent
+       LEFT ANTI join is broadcast (AQE picks this up from the runtime
+       size; at petabyte scale hash the line to a 64-bit key first).
+    3. One ``groupBy(doc_id)`` to reassemble kept lines in original
+       order (``sort_array`` of (pos, line) structs — no window, no
+       per-partition ordering assumption).
+
+    No driver-side collect anywhere; three shuffles total, two of them
+    over the small exploded-lines relation.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    ex = base.select(
+        "doc_id", F.posexplode(F.split(F.col("t"), "\n")).alias("pos", "line")
+    )
+    drop_set = (
+        ex.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = ex.join(F.broadcast(drop_set), on="line", how="left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_lines = base.select(
+        "doc_id", F.size(F.split(F.col("t"), "\n")).alias("n_lines")
+    )
+    return (
+        n_lines.join(agg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped_lines"),
+        )
+    )

@@ -200,3 +200,35 @@ def test_gopher_plan_has_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_line_dedup_removes_shared_lines(spark):
+    from pycorrector_spark.operators.webrules import corpus_line_dedup
+
+    banner = "subscribe to our newsletter today"
+    rows = [
+        (i, f"unique line {i} alpha\n{banner}\n\nunique line {i} beta")
+        for i in range(5)
+    ] + [(99, "no banner here\n\njust text")]
+    df = _page_df(spark, rows)
+    out = {r.doc_id: r for r in corpus_line_dedup(df, max_line_df=3).collect()}
+    for i in range(5):
+        assert banner not in out[i].clean_text
+        assert out[i].n_dropped_lines == 1
+        # order + paragraph separators preserved
+        assert out[i].clean_text == f"unique line {i} alpha\n\nunique line {i} beta"
+    assert out[99].n_dropped_lines == 0
+    assert out[99].clean_text == "no banner here\n\njust text"
+
+
+def test_corpus_line_dedup_below_threshold_keeps_all(spark):
+    from pycorrector_spark.operators.webrules import corpus_line_dedup
+
+    rows = [(0, "shared line\nown line 0"), (1, "shared line\nown line 1")]
+    out = corpus_line_dedup(_page_df(spark, rows), max_line_df=5).collect()
+    assert all(r.n_dropped_lines == 0 for r in out)
