@@ -1326,6 +1326,18 @@ def q_url_filter(spark, sf_dir):
     return with_url_filter(docs).select("doc_id", "url", "norm_url", "host", "url_keep")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: capped Jaccard pairs -> alternating large/small
+    star connected components -> (doc_id, rep, is_canonical). Same pair
+    parameters as dedup_jaccard, so the recursive-CTE oracle closes over
+    the identical pair set."""
+    from pycorrector_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(spark, sf_dir), k=2, threshold=0.2, max_df=JACCARD_MAX_DF
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-frequency line dedup: lines shared by more than
     LINE_DEDUP_MAX_DF distinct documents (the synthesized boilerplate
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
         "qf_line_dedup": q_line_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -2243,6 +2256,59 @@ def _c4_frag(rel: str) -> str:
     """
 
 
+def _jaccard_pairs_ctes() -> str:
+    """CTE chain (no WITH keyword) ending in ``jpairs(id_a, id_b,
+    jaccard)`` — the capped exact-Jaccard pair set, shared by the
+    dedup_jaccard oracle and the dedup_clusters recursive oracle."""
+    return f"""words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'), x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS shingles
+              FROM words WHERE len(w) >= 2),
+            sized AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+            inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sized),
+            freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+            kept AS (SELECT i.doc_id, i.shingle FROM inv i
+                     JOIN freq USING (shingle) WHERE freq.df <= {JACCARD_MAX_DF}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+            inv2 AS (SELECT k.doc_id, k.shingle, s.n_sh FROM kept k JOIN sizes s USING (doc_id)),
+            jpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+            FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2
+            )"""
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Connected components as a recursive CTE: a node reaches every label
+    its neighbors reach; rep = min reached label. Fixpoint terminates
+    because UNION deduplicates and the label set is finite."""
+    return (
+        "WITH RECURSIVE " + _jaccard_pairs_ctes() + """
+            , sym AS (
+              SELECT id_a AS u, id_b AS v FROM jpairs
+              UNION
+              SELECT id_b, id_a FROM jpairs
+            ), reach(n, l) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+              UNION
+              SELECT s.u, r.l FROM sym s JOIN reach r ON r.n = s.v
+            ), reps AS (
+              SELECT n, min(l) AS rep FROM reach GROUP BY n
+            )
+            SELECT d.doc_id,
+                   coalesce(reps.rep, d.doc_id) AS rep,
+                   coalesce(reps.rep, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN reps ON reps.n = d.doc_id
+        """
+    )
+
+
 def _webrules_oracles() -> dict[str, str]:
     """Oracles for the Gopher/C4 web-rules queries, assembled from the
     parameterized fragments above over the synthesized ``web`` pages."""
@@ -2382,28 +2448,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
-        "dedup_jaccard": f"""
-            WITH words AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[ \t\n\r]+'), x -> x <> '') AS w
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS shingles
-              FROM words WHERE len(w) >= 2),
-            sized AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-            inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sized),
-            freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
-            kept AS (SELECT i.doc_id, i.shingle FROM inv i
-                     JOIN freq USING (shingle) WHERE freq.df <= {JACCARD_MAX_DF}),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
-            inv2 AS (SELECT k.doc_id, k.shingle, s.n_sh FROM kept k JOIN sizes s USING (doc_id))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
-            FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-            HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2
+        "dedup_jaccard": "WITH " + _jaccard_pairs_ctes() + """
+            SELECT id_a, id_b, jaccard FROM jpairs
         """,
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "dedup_minhash": _dedup_minhash_oracle_sql(),
         "dedup_simhash": f"""

@@ -590,3 +590,113 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster -> canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): every node connects its LARGER
+    neighbors to its smallest neighbor-or-self."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    g = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.array_min("nbrs"), F.col("u"))
+    return (
+        g.select(F.col("u"), m.alias("m"), F.explode("nbrs").alias("x"))
+        .where(F.col("x") > F.col("u"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high->low, connect every smaller
+    neighbor (and the node itself) to the minimum."""
+    d = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    g = d.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.array_min("nbrs"), F.col("u"))
+    return (
+        g.select(F.col("u"), m.alias("m"),
+                 F.explode(F.array_union("nbrs", F.array("u"))).alias("x"))
+        .where(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, rep) for every node in ``pairs``; ``rep`` is the smallest id
+    in the node's connected component.
+
+    Alternating large-star / small-star — the published O(log n)-round
+    MapReduce algorithm, expressed as DataFrame groupBy+explode rounds
+    (two shuffles per round, integer-only rows). Convergence is detected
+    by an (order-insensitive checksum, count) pair — one cheap action per
+    round; ``localCheckpoint`` truncates the per-round lineage so plans
+    don't grow superlinearly. Near-dup graphs are overwhelmingly tiny
+    star/clique components, so real corpora converge in 2-4 rounds.
+
+    This is the step that turns pairwise near-dup evidence into the
+    "keep one canonical document per cluster" decision a dedup pipeline
+    actually ships.
+    """
+    edges = (
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("ck"),
+        ).head()
+        cur = (row["n"], row["ck"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged edges form stars (leaf -> component min); roots map to self
+    leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("rep")).distinct()
+    return (
+        leaves.union(roots)
+        .groupBy("node")
+        .agg(F.min("rep").alias("rep"))
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Jaccard near-dup pairs -> connected components -> per-document
+    ``(doc_id, rep, is_canonical)``; singletons are their own canonical.
+    ``is_canonical`` is the keep flag of cluster-level dedup."""
+    pairs = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        k=k, threshold=threshold, max_df=max_df,
+    )
+    cc = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("rep"),
+            (F.coalesce("rep", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

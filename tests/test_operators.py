@@ -434,3 +434,52 @@ def test_simhash_near_pairs_excludes_wordless_sentinel(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(simhash64(df)).collect()}
     assert pairs == {(100, 101)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating-star CC vs a driver-side union-find on a graph with a
+    path (forces >1 round), a clique, an isolated edge, and id gaps."""
+    from pycorrector_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),          # path -> rep 1
+             (10, 11), (11, 12), (10, 12),            # clique -> rep 10
+             (20, 21),                                # pair -> rep 20
+             (30, 7), (7, 99)]                        # out-of-order ids -> rep 7
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_near_dup_clusters_canonical_flags(spark, dup_df):
+    """Every doc appears once; exact/near dups share a rep; singletons are
+    their own canonical; exactly one canonical per cluster."""
+    from pycorrector_spark.operators.dedup import near_dup_clusters
+
+    rows = near_dup_clusters(dup_df, k=3, threshold=0.3, max_df=None).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == dup_df.count()
+    # 0 and 1 are byte-identical -> same cluster, rep is the min id
+    assert by_id[0]["rep"] == by_id[1]["rep"] == 0
+    assert by_id[0]["is_canonical"] and not by_id[1]["is_canonical"]
+    # isolated docs are their own canonical rep
+    assert by_id[3]["rep"] == 3 and by_id[3]["is_canonical"]
+    # exactly one canonical per rep group
+    reps = {}
+    for r in rows:
+        reps.setdefault(r["rep"], []).append(r["is_canonical"])
+    for rep, flags in reps.items():
+        assert sum(flags) == 1 and by_id[rep]["is_canonical"]
