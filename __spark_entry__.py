@@ -130,6 +130,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # frozen query parameters shared by Spark queries and their oracles
 JACCARD_MAX_DF = 100      # shingle document-frequency cap (dedup_jaccard)
+HOST_CAP_N = 20           # per-domain quota (qf_host_cap)
+SAMPLE_RATE = 0.1         # deterministic md5-bucket sample rate (qf_sample)
 LSH_TOPK_PLANES = 6       # ann_lsh_topk hyperplanes
 EMB_LSH_PLANES = 64       # dedup_embedding banded LSH: total sign bits
 EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
@@ -1338,6 +1340,57 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_host_cap(spark, sf_dir):
+    """Per-domain quota (C4/RefinedWeb-style): keep at most HOST_CAP_N
+    docs per host, best-first by word count. Skew-safe two-phase top-N —
+    the salted first window bounds a hot host's sort run (windows are the
+    one skew shape AQE cannot split)."""
+    from pycorrector_spark.operators.curation import top_n_per_key
+    from pycorrector_spark.operators.htmlx import synth_url_expr, with_url_filter
+    from pycorrector_spark.operators.quality import with_quality_columns
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", synth_url_expr(F.col("doc_id")).alias("url")
+    )
+    d = with_quality_columns(with_url_filter(docs))
+    capped = top_n_per_key(
+        d, "host", HOST_CAP_N,
+        [F.col("n_words").desc(), F.col("doc_id").asc()],
+        unique_col="doc_id", salt_buckets=8,
+    )
+    return capped.select("doc_id", "host", "n_words", "key_rank")
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic md5-bucket Bernoulli sample stratified per language
+    (key = lang:text): reproducible on any cluster size, across retries —
+    a pure narrow map+filter, no shuffle."""
+    from pycorrector_spark.operators.curation import hash_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    key = F.concat(
+        F.coalesce(F.col("lang"), F.lit("")), F.lit(":"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return hash_sample(docs, key, SAMPLE_RATE).select(
+        "doc_id", "lang", "sample_bucket"
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Day-over-day crawl dedup: new batch (doc_id%3!=0) anti-joined
+    against the seen snapshot (doc_id%3=0) on md5(text), with a broadcast
+    bloom prefilter so definitely-new rows skip the shuffle. No false
+    negatives => output is byte-identical to the plain anti-join the
+    oracle runs."""
+    from pycorrector_spark.operators.curation import incremental_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(new, seen).select("doc_id", "text_md5")
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-frequency line dedup: lines shared by more than
     LINE_DEDUP_MAX_DF distinct documents (the synthesized boilerplate
@@ -1422,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
         "qf_line_dedup": q_line_dedup,
+        "qf_host_cap": q_host_cap,
+        "qf_sample": q_sample_hash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -2382,10 +2438,62 @@ def _webrules_oracles() -> dict[str, str]:
     }
 
 
+def _curation_oracles() -> dict[str, str]:
+    """Oracles for the corpus-curation queries: per-host quota ranking,
+    md5-bucket sampling, and snapshot-delta dedup. The host and n_words
+    fragments reuse the already-verified url-filter and signals CTEs; the
+    sample cut mirrors hash_sample's ``int(round(rate * denom))``."""
+    from pycorrector_spark.operators import htmlx as H
+    from pycorrector_spark.operators.curation import _BUCKET_DENOM, md5_bucket_sql
+
+    norm = H.normalize_url_sql("url")
+    host_cap = _SIGNALS_CTE + f"""
+        , u AS (
+          SELECT doc_id, {H.synth_url_sql("doc_id")} AS url FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 regexp_extract({norm}, '{H.URL_AUTH_RE}', 1) AS host
+          FROM u
+        ), ranked AS (
+          SELECT s.doc_id, h.host, s.n_words,
+                 row_number() OVER (
+                   PARTITION BY h.host ORDER BY s.n_words DESC, s.doc_id ASC
+                 ) AS key_rank
+          FROM sig2 s JOIN h USING (doc_id)
+        )
+        SELECT doc_id, host, n_words, CAST(key_rank AS INT) AS key_rank
+        FROM ranked WHERE key_rank <= {HOST_CAP_N}
+    """
+    cut = int(round(SAMPLE_RATE * _BUCKET_DENOM))
+    bucket = md5_bucket_sql("(coalesce(lang, '') || ':' || coalesce(text, ''))")
+    sample = f"""
+        SELECT doc_id, lang, {bucket} AS sample_bucket
+        FROM documents
+        WHERE {bucket} < {cut}
+    """
+    incremental = """
+        WITH seen AS (
+          SELECT DISTINCT md5(text) AS text_md5
+          FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        ), n AS (
+          SELECT doc_id, md5(text) AS text_md5
+          FROM documents WHERE doc_id % 3 <> 0
+        )
+        SELECT doc_id, text_md5 FROM n
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text_md5 = n.text_md5)
+    """
+    return {
+        "qf_host_cap": host_cap,
+        "qf_sample": sample,
+        "dedup_incremental": incremental,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_webrules_oracles(),
         **_htmlx_oracles(),
+        **_curation_oracles(),
         "qf_quality_signals": _SIGNALS_CTE + """
             SELECT doc_id, n_chars, n_words, symbol_ratio, rep_ratio, len_ok FROM sig2
         """,

@@ -1,0 +1,298 @@
+"""Corpus curation operators: per-host quotas, deterministic hash
+sampling, and incremental (snapshot-delta) dedup with a bloom prefilter.
+
+These are the "shape the corpus" steps that follow quality filtering in a
+web-scale training-data pipeline: C4/RefinedWeb-style per-domain caps so a
+handful of giant hosts can't dominate the training mix, reproducible
+subsampling for ablations, and day-over-day crawl dedup against the
+already-ingested snapshot. The reference corrects one sentence at a time
+and has no corpus-level curation (pycorrector/corrector.py operates per
+call); these extend SURVEY.md §2's LLM-pipeline addenda.
+
+Scale notes
+-----------
+- ``top_n_per_key`` is the skew-safe two-phase top-N: a salted first
+  window bounds any single task's sort run to ``|hot key| / salt_buckets``
+  rows, and the global window then ranks at most ``n * salt_buckets`` rows
+  per key. A single-window implementation sorts an entire hot host in one
+  task — exactly the skew AQE cannot split (windows pin a partition's rows
+  together).
+- ``hash_sample`` is a pure narrow map+filter on an md5-derived bucket: no
+  shuffle, survives predicate pushdown, and the same (text, rate) always
+  samples the same rows on any cluster size — reproducibility is the point
+  (Math.random-style sampling resamples per retry/stage re-run).
+- ``incremental_dedup`` anti-joins the new crawl against the seen-hash
+  snapshot, with an optional broadcast bloom prefilter: rows the bloom
+  rejects are *definitely new* and skip the shuffle entirely; only bloom
+  positives (true dups + the tuned false-positive fraction) are joined.
+  At 100 TB/day against a multi-PB seen-set, that turns a full-corpus
+  shuffle into a shuffle of the (tiny) dup fraction. The bloom has no
+  false negatives, so the prefiltered plan returns byte-identical results
+  to the plain anti-join — which is how the DuckDB oracle checks it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "top_n_per_key",
+    "hash_sample",
+    "md5_bucket_expr",
+    "md5_bucket_sql",
+    "BloomFilter",
+    "build_bloom",
+    "incremental_dedup",
+]
+
+
+# ---------------------------------------------------------------------------
+# per-key quota (two-phase, skew-safe)
+# ---------------------------------------------------------------------------
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_by: list[Column],
+    unique_col: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep the top ``n`` rows per ``key_col`` under ``order_by``, emitting
+    a ``key_rank`` column (1-based).
+
+    ``order_by`` must be a deterministic total order within each key
+    (include ``unique_col`` as the last tie-break); ``unique_col`` also
+    seeds the salt, so re-runs place rows in the same salt bucket.
+
+    Two windows instead of one: the first ranks within
+    ``(key, xxhash64(unique) % salt_buckets)`` and discards everything
+    below rank ``n``, so the second (global per-key) window ranks at most
+    ``n * salt_buckets`` rows per key no matter how hot the key is.
+    """
+    from pyspark.sql import Window
+
+    if n < 1 or salt_buckets < 1:
+        raise ValueError("n and salt_buckets must be >= 1")
+    salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*order_by)
+    w2 = Window.partitionBy(F.col(key_col)).orderBy(*order_by)
+    return (
+        df.withColumn("_salt_rank", F.row_number().over(w1))
+        .where(F.col("_salt_rank") <= n)
+        .drop("_salt_rank")
+        .withColumn("key_rank", F.row_number().over(w2))
+        .where(F.col("key_rank") <= n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+# 15 hex digits = 60 bits: fits a signed int64 in both engines, and md5's
+# leading digits are uniform, so bucket = h % denom is an unbiased
+# Bernoulli(rate) draw that is a pure function of the sampling key.
+_BUCKET_HEX_DIGITS = 15
+_BUCKET_DENOM = 10_000
+
+
+def md5_bucket_expr(key: Column, denom: int = _BUCKET_DENOM) -> Column:
+    """Deterministic bucket in [0, denom) from md5 of the key string."""
+    h = F.conv(F.substring(F.md5(key), 1, _BUCKET_HEX_DIGITS), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(denom))
+
+
+def md5_bucket_sql(key_sql: str, denom: int = _BUCKET_DENOM) -> str:
+    """DuckDB mirror of :func:`md5_bucket_expr` (same digits, same denom)."""
+    return (
+        f"(('0x' || substr(md5({key_sql}), 1, {_BUCKET_HEX_DIGITS}))::BIGINT"
+        f" % {denom})"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column,
+    rate: float,
+    denom: int = _BUCKET_DENOM,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5 bucket falls
+    below ``rate * denom``, with the bucket exposed as ``sample_bucket``.
+
+    The draw depends only on the key value — same corpus, same rate, same
+    sample on 1 executor or 1000, across retries and stage re-runs. Use a
+    content key (text) to sample documents, or ``concat(lang, text)`` to
+    stratify draws per language independently.
+    """
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(round(rate * denom))
+    return df.withColumn("sample_bucket", md5_bucket_expr(key, denom)).where(
+        F.col("sample_bucket") < cut
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom filter (broadcastable bitmap, no false negatives)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Plain numpy-bitmap bloom over int64 keys with double hashing.
+
+    ``k`` probe positions are derived from one 60-bit hash as
+    ``(h1 + i*h2) % m`` (Kirsch-Mitzenmacher double hashing), so executors
+    only need the key column — no per-probe rehash of the payload.
+    """
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        if m_bits < 64 or k < 1:
+            raise ValueError("m_bits must be >= 64 and k >= 1")
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        self.bits = (
+            bits
+            if bits is not None
+            else np.zeros((self.m_bits + 63) // 64, dtype=np.uint64)
+        )
+
+    @staticmethod
+    def sized_for(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+        """(m_bits, k) for a target false-positive rate at ``n_items``."""
+        n = max(1, n_items)
+        m = max(64, int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))))
+        k = max(1, int(round(m / n * math.log(2))))
+        return m, k
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        # (len(h), k) probe positions; h2 forced odd so strides cycle
+        h = h.astype(np.uint64)
+        h1 = h % np.uint64(self.m_bits)
+        h2 = ((h >> np.uint64(29)) | np.uint64(1)) % np.uint64(self.m_bits)
+        i = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m_bits)
+
+    def add_many(self, h: np.ndarray) -> None:
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(h)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+
+def _h64_expr(text: Column) -> Column:
+    """60-bit int64 hash of a string via md5 — the bloom's key column.
+    md5 (not xxhash64) so the driver-side oracle and any non-Spark reader
+    can reproduce it."""
+    return F.conv(F.substring(F.md5(text), 1, _BUCKET_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def build_bloom(
+    df: DataFrame, text_col: str, m_bits: int, k: int
+) -> BloomFilter:
+    """Aggregate a bloom bitmap over ``md5_60(text_col)`` distributed-style:
+    one partial bitmap per partition, OR-reduced on the driver. The bitmap
+    (m_bits/8 bytes) is the only thing that crosses the wire — sized for
+    fp≈1% it is ~1.2 GB per 10^9 seen hashes, i.e. broadcastable where the
+    seen-hash *table* is not."""
+    m_bits_, k_ = int(m_bits), int(k)
+
+    def partial(it):
+        bf = BloomFilter(m_bits_, k_)
+        any_rows = False
+        for pdf in it:
+            # non-null int64 by construction (filtered JVM-side below), so
+            # Arrow hands pandas an exact int64 column — a nullable column
+            # would arrive as float64 and round 60-bit hashes past 2^53
+            h = pdf["h64"].to_numpy(dtype=np.int64)
+            if len(h):
+                bf.add_many(h)
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = (
+        df.select(_h64_expr(F.col(text_col)).alias("h64"))
+        .where(F.col("h64").isNotNull())
+        .mapInPandas(partial, "bits binary")
+        .collect()
+    )
+    out = BloomFilter(m_bits_, k_)
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return out
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    use_bloom: bool = True,
+    fp_rate: float = 0.01,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """Rows of ``new_docs`` whose ``text_col`` md5 was NOT seen in
+    ``seen_docs``, with the hash exposed as ``text_md5``.
+
+    NULL text never matches anything (md5(NULL) is NULL; NULL join keys
+    don't equate) — degenerate rows pass through as new, mirroring the
+    exact-dedup operator's NULL contract.
+
+    With ``use_bloom`` the plan splits on a broadcast bloom probe:
+    bloom-negative rows (definitely new) bypass the anti-join shuffle;
+    only bloom positives join. No false negatives ⇒ identical output to
+    the plain anti-join, so both variants share one oracle.
+    """
+    new_h = new_docs.withColumn("text_md5", F.md5(F.col(text_col)))
+    seen_h = seen_docs.select(F.md5(F.col(text_col)).alias("text_md5")).where(
+        F.col("text_md5").isNotNull()
+    ).distinct()
+    if not use_bloom:
+        return new_h.join(seen_h, "text_md5", "left_anti")
+
+    n_seen = seen_count if seen_count is not None else seen_docs.count()
+    m_bits, k = BloomFilter.sized_for(n_seen, fp_rate)
+    bf = build_bloom(seen_docs, text_col, m_bits, k)
+    spark = new_docs.sparkSession
+    bits_bc = spark.sparkContext.broadcast(bf.bits.tobytes())
+    m_, k_ = bf.m_bits, bf.k
+
+    @F.pandas_udf("boolean")
+    def bloom_hit(h: pd.Series) -> pd.Series:
+        bf_local = BloomFilter(
+            m_, k_, bits=np.frombuffer(bits_bc.value, dtype=np.uint64)
+        )
+        # the column is sentinel-coalesced JVM-side, so it arrives as exact
+        # int64 (a nullable column would arrive float64, rounding 60-bit
+        # hashes past 2^53); sentinel rows must reach the join
+        vals = h.to_numpy(dtype=np.int64)
+        out = np.ones(len(h), dtype=bool)
+        mask = vals >= 0
+        if mask.any():
+            out[mask] = bf_local.might_contain(vals[mask])
+        return pd.Series(out)
+
+    # md5-derived hashes are >= 0, so -1 is a safe "NULL text" sentinel
+    probed = new_h.withColumn(
+        "_bloom_hit",
+        bloom_hit(F.coalesce(_h64_expr(F.col(text_col)), F.lit(-1).cast("long"))),
+    )
+    definitely_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
+    suspects = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
+    return definitely_new.unionByName(suspects.join(seen_h, "text_md5", "left_anti"))

@@ -1,0 +1,124 @@
+"""Corpus-curation operators: per-key quota, deterministic sampling,
+bloom filter, incremental dedup — differential-tested against pandas."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pycorrector_spark.operators.curation import (
+    BloomFilter,
+    build_bloom,
+    hash_sample,
+    incremental_dedup,
+    top_n_per_key,
+)
+
+
+def _md5_60(text: str) -> int:
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # one hot key (60 rows), two small keys, deterministic scores with ties
+    rows = [(i, "hot", (i * 7) % 13) for i in range(60)]
+    rows += [(100 + i, "warm", i) for i in range(8)]
+    rows += [(200, "cold", 5)]
+    return spark.createDataFrame(rows, "doc_id long, host string, score long")
+
+
+def test_top_n_per_key_matches_pandas(spark, skewed_df):
+    n = 5
+    got = top_n_per_key(
+        skewed_df, "host", n,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        unique_col="doc_id", salt_buckets=4,
+    ).toPandas()
+
+    pdf = skewed_df.toPandas().sort_values(
+        ["host", "score", "doc_id"], ascending=[True, False, True]
+    )
+    pdf["key_rank"] = pdf.groupby("host").cumcount() + 1
+    want = pdf[pdf["key_rank"] <= n]
+
+    got_s = got.sort_values(["host", "key_rank"]).reset_index(drop=True)
+    want_s = want.sort_values(["host", "key_rank"]).reset_index(drop=True)
+    assert list(got_s["doc_id"]) == list(want_s["doc_id"])
+    assert list(got_s["key_rank"]) == list(want_s["key_rank"])
+    # small keys pass through whole; hot key is capped
+    assert (got["host"] == "cold").sum() == 1
+    assert (got["host"] == "hot").sum() == n
+
+
+def test_top_n_per_key_salt_invariance(spark, skewed_df):
+    """Result is independent of the salt bucket count (1 disables phase-1
+    pruning entirely)."""
+    args = ("host", 3, [F.col("score").desc(), F.col("doc_id").asc()])
+    a = top_n_per_key(skewed_df, *args, unique_col="doc_id", salt_buckets=1)
+    b = top_n_per_key(skewed_df, *args, unique_col="doc_id", salt_buckets=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    s1 = hash_sample(df, F.col("text"), 0.2).select("doc_id").toPandas()
+    s2 = hash_sample(df, F.col("text"), 0.2).select("doc_id").toPandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    # md5 buckets are uniform: 2000 draws at 20% -> ~400, binomial 4-sigma
+    assert 320 <= len(s1) <= 480
+    assert hash_sample(df, F.col("text"), 0.0).count() == 0
+    assert hash_sample(df, F.col("text"), 1.0).count() == 2000
+    # sampling follows content, not row identity: same text -> same draw
+    dup = spark.createDataFrame([(9999, "document number 7 body")],
+                                "doc_id long, text string")
+    in_dup = hash_sample(dup, F.col("text"), 0.2).count() == 1
+    assert in_dup == (7 in set(s1["doc_id"]))
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    rng = np.random.default_rng(7)
+    seen = rng.integers(0, 1 << 60, size=5000, dtype=np.int64)
+    m, k = BloomFilter.sized_for(len(seen), fp_rate=0.01)
+    bf = BloomFilter(m, k)
+    bf.add_many(seen)
+    assert bf.might_contain(seen).all()
+    fresh = rng.integers(0, 1 << 60, size=20000, dtype=np.int64)
+    fresh = fresh[~np.isin(fresh, seen)]
+    fp = bf.might_contain(fresh).mean()
+    assert fp < 0.05  # target 1%, generous bound for hash-family variance
+
+
+def test_build_bloom_matches_local(spark):
+    texts = [f"snapshot doc {i}" for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(4)
+    m, k = BloomFilter.sized_for(len(texts), 0.01)
+    got = build_bloom(df, "text", m, k)
+
+    want = BloomFilter(m, k)
+    want.add_many(np.array([_md5_60(t) for t in texts], dtype=np.int64))
+    assert np.array_equal(got.bits, want.bits)
+
+
+def test_incremental_dedup_bloom_equals_exact(spark):
+    seen = spark.createDataFrame(
+        [(i, f"old doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    new_rows = [(100 + i, f"old doc {i}") for i in range(10)]       # dups
+    new_rows += [(200 + i, f"fresh doc {i}") for i in range(40)]    # new
+    new_rows += [(300, None)]                                       # NULL text
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    with_bloom = incremental_dedup(new, seen, use_bloom=True)
+    exact = incremental_dedup(new, seen, use_bloom=False)
+    got_b = sorted(r["doc_id"] for r in with_bloom.collect())
+    got_e = sorted(r["doc_id"] for r in exact.collect())
+    assert got_b == got_e == sorted([200 + i for i in range(40)] + [300])
+    # NULL text survives with a NULL hash
+    null_row = [r for r in with_bloom.collect() if r["doc_id"] == 300]
+    assert null_row and null_row[0]["text_md5"] is None
