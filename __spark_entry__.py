@@ -132,6 +132,7 @@ def entry(spark: SparkSession) -> DataFrame:
 JACCARD_MAX_DF = 100      # shingle document-frequency cap (dedup_jaccard)
 HOST_CAP_N = 20           # per-domain quota (qf_host_cap)
 SAMPLE_RATE = 0.1         # deterministic md5-bucket sample rate (qf_sample)
+NB_MIN_COUNT = 2          # NB classifier vocabulary prune (nb_langid)
 LSH_TOPK_PLANES = 6       # ann_lsh_topk hyperplanes
 EMB_LSH_PLANES = 64       # dedup_embedding banded LSH: total sign bits
 EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
@@ -1391,6 +1392,23 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(new, seen).select("doc_id", "text_md5")
 
 
+def q_nb_langid(spark, sf_dir):
+    """fastText-style language classifier: multinomial NB over char
+    trigrams, trained ON the corpus labels and scored back over it —
+    training is one groupBy shuffle, scoring a broadcast join plus an
+    ordered per-doc fold, so the exact doubles survive any cluster size.
+    nb_logp is rounded (4dp) only because Java's Math.log and libm ln can
+    differ by 1 ulp on a handful of grams."""
+    from pycorrector_spark.operators.nbayes import fit_nb, score_nb
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    model = fit_nb(docs, label_col="lang", text_col="text", n=3,
+                   min_count=NB_MIN_COUNT)
+    return score_nb(docs, model).select(
+        "doc_id", "nb_pred", F.round("nb_logp", 4).alias("nb_logp")
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-frequency line dedup: lines shared by more than
     LINE_DEDUP_MAX_DF distinct documents (the synthesized boilerplate
@@ -1479,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_sample": q_sample_hash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "nb_langid": q_nb_langid,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -2486,7 +2505,61 @@ def _curation_oracles() -> dict[str, str]:
         "qf_host_cap": host_cap,
         "qf_sample": sample,
         "dedup_incremental": incremental,
+        "nb_langid": _nb_oracle_sql(),
     }
+
+
+def _nb_oracle_sql() -> str:
+    """Serial mirror of fit_nb + score_nb: identical smoothing arithmetic
+    and position-ordered fold (list_reduce with the prior prepended), so
+    scores agree with Spark's to the last bit except where the two libm
+    ln implementations differ by 1 ulp — hence the shared 4dp round."""
+    from pycorrector_spark.operators.nbayes import char_ngrams_sql
+
+    ngrams = char_ngrams_sql("text")
+    return f"""
+        WITH docs0 AS (SELECT doc_id, lang, text FROM documents),
+        g AS (SELECT doc_id, lang, {ngrams} AS grams FROM docs0),
+        tr AS (SELECT lang AS label, unnest(grams) AS gram FROM g WHERE lang IS NOT NULL),
+        counts AS (SELECT label, gram, count(*) AS c FROM tr GROUP BY label, gram),
+        keptg AS (SELECT gram FROM counts GROUP BY gram HAVING sum(c) >= {NB_MIN_COUNT}),
+        kept AS (SELECT c.label, c.gram, c.c FROM counts c JOIN keptg USING (gram)),
+        labs AS (SELECT lang AS label, count(*) AS n_docs FROM docs0 WHERE lang IS NOT NULL GROUP BY lang),
+        tots AS (SELECT label, sum(c) AS t FROM kept GROUP BY label),
+        v AS (SELECT count(DISTINCT gram) AS v FROM kept),
+        model AS (
+          SELECT kg.gram,
+                 list(ln((coalesce(k.c, 0) + 1.0) / (coalesce(t.t, 0) + v.v)) ORDER BY l.label) AS logps
+          FROM keptg kg CROSS JOIN labs l CROSS JOIN v
+               LEFT JOIN tots t ON t.label = l.label
+               LEFT JOIN kept k ON k.gram = kg.gram AND k.label = l.label
+          GROUP BY kg.gram
+        ),
+        meta AS (
+          SELECT list(l.label ORDER BY l.label) AS labels,
+                 list(ln(l.n_docs / CAST((SELECT sum(n_docs) FROM labs) AS DOUBLE)) ORDER BY l.label) AS priors,
+                 list(ln(1.0 / (coalesce(t.t, 0) + v.v)) ORDER BY l.label) AS oovs
+          FROM labs l LEFT JOIN tots t ON t.label = l.label CROSS JOIN v
+        ),
+        gp AS (SELECT doc_id, unnest(generate_series(1, len(grams))) AS pos,
+                      unnest(grams) AS gram FROM g),
+        jg AS (SELECT gp.doc_id, gp.pos, m.logps FROM gp LEFT JOIN model m USING (gram)),
+        seqs AS (SELECT doc_id, list(logps ORDER BY pos) AS seq FROM jg GROUP BY doc_id),
+        sc0 AS (SELECT d.doc_id, coalesce(s.seq, CAST([] AS DOUBLE[][])) AS seq
+                FROM docs0 d LEFT JOIN seqs s USING (doc_id)),
+        scored AS (
+          SELECT doc_id, labels,
+            list_transform(generate_series(1, len(labels)), li ->
+              list_reduce(
+                list_prepend(priors[li], list_transform(seq, x -> coalesce(x[li], oovs[li]))),
+                (acc, y) -> acc + y)) AS scores
+          FROM sc0 CROSS JOIN meta
+        )
+        SELECT doc_id,
+               labels[list_position(scores, list_aggregate(scores, 'max'))] AS nb_pred,
+               round(list_aggregate(scores, 'max'), 4) AS nb_logp
+        FROM scored
+    """
 
 
 def oracle_sql() -> dict[str, str]:
