@@ -133,6 +133,7 @@ JACCARD_MAX_DF = 100      # shingle document-frequency cap (dedup_jaccard)
 HOST_CAP_N = 20           # per-domain quota (qf_host_cap)
 SAMPLE_RATE = 0.1         # deterministic md5-bucket sample rate (qf_sample)
 NB_MIN_COUNT = 2          # NB classifier vocabulary prune (nb_langid)
+TOKEN_BUDGET = 15_000     # corpus token budget (qf_token_budget)
 LSH_TOPK_PLANES = 6       # ann_lsh_topk hyperplanes
 EMB_LSH_PLANES = 64       # dedup_embedding banded LSH: total sign bits
 EMB_LSH_BANDS = 4         # ... 4 bands x 16 bits: 65k buckets/band, so the
@@ -1392,6 +1393,22 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(new, seen).select("doc_id", "text_md5")
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget curation cut: keep best docs (by word count) while the
+    running token total fits TOKEN_BUDGET. Exact global-prefix semantics
+    WITHOUT a global sort — driver-collected per-score bucket offsets +
+    a score-partitioned cumsum window (see select_token_budget)."""
+    from pycorrector_spark.operators.curation import select_token_budget
+    from pycorrector_spark.operators.quality import with_quality_columns
+
+    d = with_quality_columns(_docs(spark, sf_dir).select("doc_id", "text"))
+    out = select_token_budget(
+        d, TOKEN_BUDGET, score_col="n_words", tokens_col="n_words",
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "n_words", "cum_tokens")
+
+
 def q_nb_langid(spark, sf_dir):
     """fastText-style language classifier: multinomial NB over char
     trigrams, trained ON the corpus labels and scored back over it —
@@ -1498,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "nb_langid": q_nb_langid,
+        "qf_token_budget": q_token_budget,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -2506,6 +2524,18 @@ def _curation_oracles() -> dict[str, str]:
         "qf_sample": sample,
         "dedup_incremental": incremental,
         "nb_langid": _nb_oracle_sql(),
+        "qf_token_budget": _SIGNALS_CTE + f"""
+            , c AS (
+              SELECT doc_id, n_words,
+                     sum(n_words) OVER (
+                       ORDER BY n_words DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM sig2
+            )
+            SELECT doc_id, n_words, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+        """,
     }
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "top_n_per_key",
+    "select_token_budget",
     "hash_sample",
     "md5_bucket_expr",
     "md5_bucket_sql",
@@ -88,6 +89,71 @@ def top_n_per_key(
         .drop("_salt_rank")
         .withColumn("key_rank", F.row_number().over(w2))
         .where(F.col("key_rank") <= n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (greedy best-first prefix, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Keep the best-scoring documents whose running token total stays
+    within ``budget`` — the "train on the best N-token subset" curation
+    cut. Order is (score DESC, id ASC); a document is kept iff its
+    inclusive running total is <= budget, so the result is an exact prefix
+    of the globally sorted corpus.
+
+    The naive plan is a GLOBAL ordered cumsum — one window task holding
+    the whole corpus. Instead: per-score-bucket token totals are a tiny
+    aggregate collected to the driver, the running offset of each bucket
+    is broadcast-joined back, and the cumsum window runs PARTITIONED BY
+    score (parallel across buckets, ordered by id within). Buckets whose
+    offset already exceeds the budget are pruned before the window
+    shuffle. Requires a bounded score domain — quantize continuous scores
+    upstream (the collected aggregate is one row per distinct score).
+
+    NULL scores or token counts are dropped (they cannot be ordered or
+    budgeted).
+    """
+    from pyspark.sql import Window
+
+    d = df.where(F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull())
+    buckets = sorted(
+        d.groupBy(score_col).agg(F.sum(tokens_col).alias("bt")).collect(),
+        key=lambda r: r[score_col],
+        reverse=True,
+    )
+    offsets, run = [], 0
+    for r in buckets:
+        if run >= budget:
+            break  # bucket starts past the budget: nothing in it survives
+        offsets.append((r[score_col], run))
+        run += r["bt"]
+    spark = df.sparkSession
+    if not offsets:
+        return d.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
+    off_df = spark.createDataFrame(offsets, [score_col, "bucket_offset"])
+
+    w = (
+        Window.partitionBy(score_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), score_col)  # inner join prunes dead buckets
+        .withColumn(
+            "cum_tokens",
+            (F.col("bucket_offset") + F.sum(tokens_col).over(w)).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .drop("bucket_offset")
     )
 
 

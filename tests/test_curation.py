@@ -122,3 +122,41 @@ def test_incremental_dedup_bloom_equals_exact(spark):
     # NULL text survives with a NULL hash
     null_row = [r for r in with_bloom.collect() if r["doc_id"] == 300]
     assert null_row and null_row[0]["text_md5"] is None
+
+
+def test_select_token_budget_is_global_prefix(spark):
+    """Bucketed-offset plan equals the naive global-sort prefix, with the
+    boundary falling mid-bucket (tied scores split by doc_id)."""
+    from pycorrector_spark.operators.curation import select_token_budget
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), int(s), int(s)) for i, s in
+            enumerate(rng.integers(1, 30, size=400))]
+    rows.append((400, None, 5))  # NULL score is dropped
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+    budget = 2500
+
+    got = select_token_budget(df, budget, "score", "toks", "doc_id").toPandas()
+
+    pdf = pd.DataFrame(rows[:-1], columns=["doc_id", "score", "toks"]).sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    )
+    pdf["cum"] = pdf["toks"].cumsum()
+    want = pdf[pdf["cum"] <= budget]
+
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    got_map = dict(zip(got["doc_id"], got["cum_tokens"]))
+    for _, r in want.iterrows():
+        assert got_map[r["doc_id"]] == r["cum"]
+    # the boundary score bucket must be partially kept for the test to bite
+    boundary = want.iloc[-1]["score"]
+    full_bucket = (pdf["score"] == boundary).sum()
+    assert (want["score"] == boundary).sum() < full_bucket
+
+
+def test_select_token_budget_degenerate(spark):
+    from pycorrector_spark.operators.curation import select_token_budget
+
+    df = spark.createDataFrame([(1, 5, 100)], "doc_id long, score long, toks long")
+    assert select_token_budget(df, 10, "score", "toks", "doc_id").count() == 0
+    assert select_token_budget(df, 100, "score", "toks", "doc_id").count() == 1
