@@ -71,8 +71,15 @@ def bench_queries():
         "qf_html_extract": q["qf_html_extract"],
         "qf_url_filter": q["qf_url_filter"],
         "qf_web_pipeline": q["qf_web_pipeline"],
+        "qf_langid_ft": q["qf_langid_ft"],
+        "qf_line_dedup": q["qf_line_dedup"],
+        "qf_host_cap": q["qf_host_cap"],
+        "qf_token_budget": q["qf_token_budget"],
+        "nb_langid": q["nb_langid"],
         "dedup_exact": q["dedup_exact"],
         "dedup_jaccard": q["dedup_jaccard"],
+        "dedup_clusters": q["dedup_clusters"],
+        "dedup_incremental": q["dedup_incremental"],
         "dedup_minhash": minhash_bench,
         "dedup_simhash": q["dedup_simhash"],
         "dedup_embedding": q["dedup_embedding"],
