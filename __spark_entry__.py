@@ -1435,6 +1435,44 @@ def q_line_dedup(spark, sf_dir):
     return corpus_line_dedup(_webpages(spark, sf_dir))
 
 
+# paragraph-dedup spam injection: page decorations are keyed on doc_id, so
+# identical source text never yields identical paragraphs across documents —
+# without injection the dedup would be vacuously green. Every PERIOD-th doc
+# gets a spam twin (disjoint id namespace, same trick as EMB_CLONE_OFFSET)
+# sharing one boilerplate paragraph plus a unique line.
+PARA_SPAM_PERIOD = 25
+PARA_SPAM_OFFSET = 1 << 40
+PARA_SPAM_TEXT = (
+    "subscribe to our newsletter for daily updates\n"
+    "all rights reserved copyright twenty twenty four\n"
+    "click here to read the full article online\n"
+    "share this story on your favorite social network"
+)
+
+
+def _spam_pages(pages):
+    """Deterministic spam twins of every PARA_SPAM_PERIOD-th page."""
+    return pages.filter(F.col("doc_id") % PARA_SPAM_PERIOD == 0).select(
+        (F.col("doc_id") + F.lit(PARA_SPAM_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.lit(PARA_SPAM_TEXT),
+            F.lit("\n\n"),
+            F.lit("only in "),
+            F.col("doc_id").cast("string"),
+        ).alias("page_text"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """MassiveText-style exact paragraph dedup, keep-first: the shared spam
+    paragraph survives only in the minimal (doc_id, pos) occurrence; every
+    other copy is dropped while the pages' unique content is untouched."""
+    from pycorrector_spark.operators.webrules import paragraph_dedup
+
+    pages = _webpages(spark, sf_dir).select("doc_id", "page_text")
+    return paragraph_dedup(pages.unionByName(_spam_pages(pages)))
+
+
 def q_web_pipeline(spark, sf_dir):
     """End-to-end web quality filter over the WARC-shaped input: url
     curation -> html text extraction -> language ID -> Gopher repetition
@@ -1510,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
         "qf_line_dedup": q_line_dedup,
+        "qf_para_dedup": q_paragraph_dedup,
         "qf_host_cap": q_host_cap,
         "qf_sample": q_sample_hash,
         "dedup_incremental": q_dedup_incremental,
@@ -2467,11 +2506,53 @@ def _webrules_oracles() -> dict[str, str]:
                CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped_lines
         FROM clean
     """
+    para_dedup = cte + f"""
+        , spam AS (
+          SELECT doc_id + {PARA_SPAM_OFFSET} AS doc_id,
+                 {_sq(PARA_SPAM_TEXT)} || chr(10) || chr(10)
+                   || 'only in ' || CAST(doc_id AS VARCHAR) AS page_text
+          FROM web WHERE doc_id % {PARA_SPAM_PERIOD} = 0
+        ), allp AS (
+          SELECT doc_id, page_text FROM web
+          UNION ALL SELECT doc_id, page_text FROM spam
+        ), pt AS (
+          SELECT doc_id, string_split(page_text, chr(10) || chr(10)) AS paras
+          FROM allp
+        ), ex0 AS (
+          SELECT doc_id, paras,
+                 unnest(generate_series(1, len(paras))) AS i
+          FROM pt
+        ), ex AS (
+          SELECT doc_id, i - 1 AS pos, paras[i] AS para FROM ex0
+        ), win AS (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          FROM ex WHERE para <> ''
+        ), kept AS (
+          SELECT doc_id, pos, para FROM win WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, pos, para FROM ex WHERE para = ''
+        ), agg AS (
+          SELECT doc_id,
+                 array_to_string(list(para ORDER BY pos), chr(10) || chr(10)) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), np AS (
+          SELECT doc_id,
+                 len(string_split(page_text, chr(10) || chr(10))) AS n_paras
+          FROM allp
+        )
+        SELECT np.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               CAST(np.n_paras - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped_paras
+        FROM np LEFT JOIN agg ON np.doc_id = agg.doc_id
+    """
     return {
         "qf_gopher_rules": gopher,
         "qf_top_ngram": top_ngram,
         "qf_c4_filter": c4,
         "qf_line_dedup": line_dedup,
+        "qf_para_dedup": para_dedup,
     }
 
 

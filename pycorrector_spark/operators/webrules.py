@@ -417,3 +417,68 @@ def corpus_line_dedup(df: DataFrame, text_col: str = "page_text",
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped_lines"),
         )
     )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "page_text") -> DataFrame:
+    """Corpus-level exact paragraph dedup, keep-first (MassiveText, Rae et
+    al. 2021 §A1.2 "repetition removal" at document granularity; CCNet
+    runs the same shape on paragraphs before LM scoring).
+
+    Every paragraph occurrence except the globally FIRST one (minimal
+    ``(doc_id, pos)`` over identical paragraph text) is removed; empty
+    paragraphs (structure separators) always survive. Returns
+    ``(doc_id, clean_text, n_dropped_paras)``.
+
+    Plan shape (100 TB):
+
+    1. ``posexplode`` paragraphs; key each occurrence by ``md5`` of the
+       paragraph so the shuffle moves a 32-byte key + position, not the
+       paragraph body, for the aggregate side.
+    2. ONE map-side-combined ``groupBy(pk)`` computing the winner
+       occurrence as ``min(struct(doc_id, pos))`` — deterministic on any
+       partitioning.
+    3. ONE sort-merge join occurrences->winners on ``pk`` keeping rows
+       equal to the winner (AQE skew-join splits a mega-duplicated
+       paragraph's hot key; a window ``rank() OVER (PARTITION BY pk)``
+       would be one shuffle fewer but pins each hot key to one task).
+    4. ``groupBy(doc_id)`` reassembly via sort_array of (pos, para)
+       structs — no window, no per-partition ordering assumption.
+
+    Unlike :func:`corpus_line_dedup` (drop ALL occurrences of
+    high-frequency lines) this keeps one canonical copy, so unique
+    content inside partially-duplicated pages is never lost.
+    """
+    base = df.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    ex = base.select(
+        "doc_id", F.posexplode(F.split(F.col("t"), "\n\n")).alias("pos", "para")
+    )
+    nonempty = ex.filter(F.col("para") != "").withColumn("pk", F.md5(F.col("para")))
+    winners = nonempty.groupBy("pk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept_dup = (
+        nonempty.join(winners, on="pk")
+        .filter(F.struct("doc_id", "pos") == F.col("w"))
+        .select("doc_id", "pos", "para")
+    )
+    kept = kept_dup.unionByName(ex.filter(F.col("para") == ""))
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_paras = base.select(
+        "doc_id", F.size(F.split(F.col("t"), "\n\n")).alias("n_paras")
+    )
+    return n_paras.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped_paras"),
+    )

@@ -232,3 +232,49 @@ def test_corpus_line_dedup_below_threshold_keeps_all(spark):
     rows = [(0, "shared line\nown line 0"), (1, "shared line\nown line 1")]
     out = corpus_line_dedup(_page_df(spark, rows), max_line_df=5).collect()
     assert all(r.n_dropped_lines == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from pycorrector_spark.operators.webrules import paragraph_dedup
+
+    shared = "alpha beta\ngamma delta"
+    rows = [
+        (1, shared + "\n\n" + "unique one"),
+        (2, "unique two" + "\n\n" + shared),
+        (3, shared),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(_page_df(spark, rows)).collect()
+    }
+    # doc 1 holds the global-min occurrence (doc_id=1, pos=0): keeps both
+    assert out[1]["clean_text"] == shared + "\n\n" + "unique one"
+    assert out[1]["n_dropped_paras"] == 0
+    # later occurrences lose the shared paragraph, keep their unique content
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_dropped_paras"] == 1
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_dropped_paras"] == 1
+
+
+def test_paragraph_dedup_within_doc_and_empty(spark):
+    from pycorrector_spark.operators.webrules import paragraph_dedup
+
+    rows = [
+        (7, "same para\n\nsame para\n\ntail"),  # intra-doc dup: keep pos 0
+        (8, ""),   # empty page survives untouched
+        (9, None),  # NULL page -> ''
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(_page_df(spark, rows)).collect()
+    }
+    assert out[7]["clean_text"] == "same para\n\ntail"
+    assert out[7]["n_dropped_paras"] == 1
+    assert out[8]["clean_text"] == "" and out[8]["n_dropped_paras"] == 0
+    assert out[9]["clean_text"] == "" and out[9]["n_dropped_paras"] == 0
