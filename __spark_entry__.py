@@ -589,6 +589,39 @@ def q_lm_ppl(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3): LM
+    perplexity terciles over the whole corpus, head = most fluent third.
+
+    The ppl stage is qf_lm_ppl's scorer with log-space integer bins added
+    in the SAME pandas batch (curation.ppl_bin — one engine's rounding);
+    tercile cutoffs come from a tiny bin histogram, not a global sort.
+    The oracle precomputes (ppl, bin) per pool index and mirrors the
+    cutoff rule with an integer window cumsum."""
+    import pandas as pd
+
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.operators.curation import ccnet_buckets, ppl_bin
+    from pycorrector_spark.operators.dedup import ensure_parallelism
+
+    bc = _artifacts_bc(spark, full=True)
+
+    def fn(it):
+        from pycorrector_spark.textops import uniform
+
+        lm = bc.value.lm
+        for pdf in it:
+            ppl = lm.ppl_batch([uniform(t) for t in pdf["text"].fillna("")])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ppl": ppl, "bin": ppl_bin(ppl)}
+            )
+
+    scored = ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL)).mapInPandas(
+        fn, "doc_id long, ppl double, bin long"
+    )
+    return ccnet_buckets(scored).select("doc_id", "ppl", "ppl_bucket")
+
+
 def q_lm_ppl_binary(spark, sf_dir):
     """Perplexity through the BINARY model path (S10): the trained LM is
     serialized to the SGKLM container, re-loaded as the KenLM-probing-
@@ -1538,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_segment_hmm": q_zh_segment_hmm,
         "qf_lm_ppl": q_lm_ppl,
         "qf_lm_ppl_binary": q_lm_ppl_binary,
+        "qf_ccnet_buckets": q_ccnet_buckets,
         "qf_pipeline_full": q_pipeline_full,
         "qf_pipeline_pool": q_pipeline_pool,
         "qf_gopher_rules": q_gopher_rules,
@@ -1781,6 +1815,39 @@ def _qf_lm_ppl_oracle_sql() -> str:
     ppl = lm.ppl_batch([uniform(s) for s in PPL_POOL])
     rows = [(i, (float(p),)) for i, p in enumerate(ppl)]
     return _pool_oracle_sql(len(PPL_POOL), ["ppl"], rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _qf_ccnet_oracle_sql() -> str:
+    import numpy as np
+
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.operators.curation import ppl_bin
+    from pycorrector_spark.textops import uniform
+
+    lm = _full_artifacts_cached().lm
+    ppl = lm.ppl_batch([uniform(s) for s in PPL_POOL])
+    bins = ppl_bin(np.asarray(ppl, dtype=np.float64))
+    rows = [
+        (i, (float(p), int(b))) for i, (p, b) in enumerate(zip(ppl, bins))
+    ]
+    pool = _pool_oracle_sql(len(PPL_POOL), ["ppl", "bin"], rows)
+    return f"""
+        WITH scored AS ({pool}),
+        hist AS (SELECT bin, count(*) AS c FROM scored GROUP BY bin),
+        tot AS (SELECT sum(c) AS total FROM hist),
+        cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+        cuts AS (
+          SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN bin END) AS c1,
+                 min(CASE WHEN cum >= (2 * total + 2) // 3 THEN bin END) AS c2
+          FROM cum CROSS JOIN tot
+        )
+        SELECT s.doc_id, s.ppl,
+               CASE WHEN s.bin <= c1 THEN 'head'
+                    WHEN s.bin <= c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored s CROSS JOIN cuts
+    """
 
 
 @functools.lru_cache(maxsize=None)
@@ -2778,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "en_spell_full": _en_spell_full_oracle_sql(),
         "qf_lm_ppl": _qf_lm_ppl_oracle_sql(),
         "qf_lm_ppl_binary": _qf_lm_ppl_oracle_sql(),
+        "qf_ccnet_buckets": _qf_ccnet_oracle_sql(),
         "qf_pipeline_pool": _pipeline_pool_oracle_sql(),
         "qf_pipeline_full": _pipeline_full_oracle_sql(),
         "media_features": _media_features_oracle_sql(),

@@ -362,3 +362,71 @@ def incremental_dedup(
     definitely_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
     suspects = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
     return definitely_new.unionByName(suspects.join(seen_h, "text_md5", "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+# log-space perplexity quantization: bin = floor(log1p(ppl) * SCALE).
+# ~14k distinct bins cover ppl in [0, 1e6], so the histogram aggregate is
+# tiny at any corpus size and the driver-side cutoff computation is O(bins).
+PPL_BIN_SCALE = 1000.0
+PPL_BIN_OVERFLOW = 1 << 31  # non-finite perplexity (empty doc, LM miss)
+
+
+def ppl_bin(ppl: np.ndarray) -> np.ndarray:
+    """Quantize perplexities to integer log-space bins.
+
+    Computed with numpy INSIDE the scoring stage (not as a JVM ``ln``
+    expression) so the bin of a given double is one engine's rounding, not
+    two: cross-engine ``ln`` can differ by an ulp exactly at a bin edge,
+    which would flip a bucket label. The DuckDB oracle precomputes bins
+    with this same function.
+    """
+    p = np.asarray(ppl, dtype=np.float64)
+    b = np.floor(np.log1p(np.maximum(p, 0.0)) * PPL_BIN_SCALE)
+    return np.where(np.isfinite(b), b, float(PPL_BIN_OVERFLOW)).astype(np.int64)
+
+
+def tercile_cutoffs(hist: list) -> tuple[int, int]:
+    """Exact keep-first tercile cutoff bins from a (bin, count) histogram.
+
+    ``c_i`` = smallest bin whose cumulative count reaches
+    ``ceil(i * total / 3)`` (integer arithmetic — mirrored verbatim by the
+    oracle SQL's ``(i * total + 2) // 3`` window cumsum).
+    """
+    pairs = sorted((int(b), int(c)) for b, c in hist)
+    total = sum(c for _, c in pairs)
+    t1 = (total + 2) // 3
+    t2 = (2 * total + 2) // 3
+    cum, c1, c2 = 0, None, None
+    for b, c in pairs:
+        cum += c
+        if c1 is None and cum >= t1:
+            c1 = b
+        if c2 is None and cum >= t2:
+            c2 = b
+    return c1, c2
+
+
+def ccnet_buckets(df: DataFrame, bin_col: str = "bin") -> DataFrame:
+    """Assign CCNet head/middle/tail perplexity buckets (CCNet, Wenzek et
+    al. 2020 §4.3: corpus terciles by LM perplexity; head = most fluent).
+
+    Plan shape (100 TB): ONE map-side-combined ``groupBy(bin)`` over ~14k
+    log-space bins, a driver-side cutoff scan over that tiny histogram
+    (this is CCNet's own design — cutoffs from a corpus histogram, not a
+    global sort), then a narrow map stamping the label. Total cost: one
+    aggregate shuffle of ~bins rows; no window, no global sort, no
+    repartition of the corpus.
+    """
+    c1, c2 = tercile_cutoffs(
+        [(r[0], r[1]) for r in df.groupBy(bin_col).count().collect()]
+    )
+    bucket = (
+        F.when(F.col(bin_col) <= F.lit(c1), F.lit("head"))
+        .when(F.col(bin_col) <= F.lit(c2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return df.withColumn("ppl_bucket", bucket)

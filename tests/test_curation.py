@@ -160,3 +160,47 @@ def test_select_token_budget_degenerate(spark):
     df = spark.createDataFrame([(1, 5, 100)], "doc_id long, score long, toks long")
     assert select_token_budget(df, 10, "score", "toks", "doc_id").count() == 0
     assert select_token_budget(df, 100, "score", "toks", "doc_id").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_bin_edges():
+    import numpy as np
+
+    from pycorrector_spark.operators.curation import (
+        PPL_BIN_OVERFLOW,
+        ppl_bin,
+    )
+
+    bins = ppl_bin(np.array([0.0, 1.0, 100.0, np.inf, np.nan, -5.0]))
+    assert bins[0] == 0
+    assert bins[1] == int(np.floor(np.log1p(1.0) * 1000))
+    assert bins[3] == PPL_BIN_OVERFLOW and bins[4] == PPL_BIN_OVERFLOW
+    assert bins[5] == 0  # negative clamped to 0
+    assert bins.dtype == np.int64
+
+
+def test_tercile_cutoffs_exact():
+    from pycorrector_spark.operators.curation import tercile_cutoffs
+
+    # 9 rows, 3 per bin: cum(10)=3 >= ceil(9/3)=3 -> c1=10;
+    # cum(20)=6 >= ceil(18/3)=6 -> c2=20
+    assert tercile_cutoffs([(10, 3), (20, 3), (30, 3)]) == (10, 20)
+    # skewed: one bin holds everything -> both cutoffs collapse onto it
+    assert tercile_cutoffs([(5, 100), (9, 1)]) == (5, 5)
+    # unsorted input is sorted internally
+    assert tercile_cutoffs([(30, 3), (10, 3), (20, 3)]) == (10, 20)
+
+
+def test_ccnet_buckets_balanced(spark):
+    from pycorrector_spark.operators.curation import ccnet_buckets
+
+    rows = [(i, i % 30) for i in range(300)]  # 30 distinct bins, uniform
+    df = spark.createDataFrame(rows, "doc_id: long, bin: long")
+    counts = dict(
+        ccnet_buckets(df).groupBy("ppl_bucket").count().collect()
+    )
+    assert counts == {"head": 100, "middle": 100, "tail": 100}
