@@ -1506,6 +1506,36 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(pages.unionByName(_spam_pages(pages)))
 
 
+# substring-dedup spam injection: twins share an 11-word run behind a
+# per-twin unique 2-word prefix, so the run's windows are corpus-level
+# duplicates while the prefix stays unique (guaranteed non-vacuity on any
+# corpus; organic >=8-word shared runs dedup too).
+SUBSTR_SPAM_PERIOD = 25
+SUBSTR_SPAM_OFFSET = 1 << 40
+SUBSTR_SPAM_RUN = (
+    "the quick brown fox jumps over the lazy sleeping dog tonight"
+)
+
+
+def q_substr_dedup(spark, sf_dir):
+    """Exact duplicate-substring removal (Lee et al. 2021 ExactSubstr,
+    relational form): words covered by a non-canonical occurrence of any
+    8-word window are dropped; the globally first occurrence survives."""
+    from pycorrector_spark.operators.dedup import substring_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spam = docs.filter(F.col("doc_id") % SUBSTR_SPAM_PERIOD == 0).select(
+        (F.col("doc_id") + F.lit(SUBSTR_SPAM_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.lit("doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.lit(SUBSTR_SPAM_RUN),
+        ).alias("text"),
+    )
+    return substring_dedup(docs.unionByName(spam))
+
+
 def q_web_pipeline(spark, sf_dir):
     """End-to-end web quality filter over the WARC-shaped input: url
     curation -> html text extraction -> language ID -> Gopher repetition
@@ -1587,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_sample": q_sample_hash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_substr": q_substr_dedup,
         "nb_langid": q_nb_langid,
         "qf_token_budget": q_token_budget,
         "tok_counts": q_token_counts,
@@ -1815,6 +1846,54 @@ def _qf_lm_ppl_oracle_sql() -> str:
     ppl = lm.ppl_batch([uniform(s) for s in PPL_POOL])
     rows = [(i, (float(p),)) for i, p in enumerate(ppl)]
     return _pool_oracle_sql(len(PPL_POOL), ["ppl"], rows)
+
+
+def _dedup_substr_oracle_sql() -> str:
+    from pycorrector_spark.operators.dedup import SUBSTR_WINDOW as W
+
+    return f"""
+        WITH allp AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + {SUBSTR_SPAM_OFFSET},
+                 'doc ' || CAST(doc_id AS VARCHAR) || ' ' || {_sq(SUBSTR_SPAM_RUN)}
+          FROM documents WHERE doc_id % {SUBSTR_SPAM_PERIOD} = 0
+        ), wd AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM allp
+        ), wx AS (
+          SELECT doc_id, words, len(words) AS nw FROM wd
+        ), occ0 AS (
+          SELECT doc_id, words,
+                 unnest(generate_series(0, nw - {W})) AS wpos
+          FROM wx
+        ), occ AS (
+          SELECT doc_id, wpos,
+                 md5(array_to_string(list_slice(words, wpos + 1, wpos + {W}), ' ')) AS wh
+          FROM occ0
+        ), rk AS (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wh ORDER BY doc_id, wpos) AS rn
+          FROM occ
+        ), dup AS (
+          SELECT doc_id, list(wpos) AS dups FROM rk WHERE rn > 1 GROUP BY doc_id
+        ), fin AS (
+          SELECT wx.doc_id, wx.words, wx.nw,
+                 coalesce(dup.dups, CAST([] AS BIGINT[])) AS dups
+          FROM wx LEFT JOIN dup ON wx.doc_id = dup.doc_id
+        ), cov AS (
+          SELECT doc_id, nw,
+                 list_filter(words, (x, i) ->
+                   len(list_filter(dups, p -> i - 1 >= p AND i - 1 < p + {W})) = 0
+                 ) AS kept
+          FROM fin
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kept, ' '), '') AS clean_text,
+               CAST(nw - len(kept) AS BIGINT) AS n_dropped_tokens
+        FROM cov
+    """
 
 
 @functools.lru_cache(maxsize=None)
@@ -2811,6 +2890,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM jpairs
         """,
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "dedup_substr": _dedup_substr_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "dedup_minhash": _dedup_minhash_oracle_sql(),
         "dedup_simhash": f"""

@@ -700,3 +700,87 @@ def near_dup_clusters(
             (F.coalesce("rep", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+SUBSTR_WINDOW = 8  # words per window (Lee et al. use 50 BPE tokens; the
+# synthetic docs average ~60 words, so 8 words keeps the op non-vacuous)
+
+
+def substring_dedup(
+    df: DataFrame, text_col: str = "text", window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": drop repeated spans, not
+    whole documents — their ExactSubstr variant, re-expressed relationally
+    instead of via a suffix array, which has no distributed equivalent).
+
+    A *window* is ``window`` consecutive words; every window occurrence
+    except the globally FIRST one (min ``(doc_id, wpos)`` over identical
+    window text) is a duplicate, and every word covered by a duplicate
+    window is removed. The surviving copy keeps the corpus' one canonical
+    instance of each repeated span. Returns
+    ``(doc_id, clean_text, n_dropped_tokens)`` where ``clean_text`` is the
+    kept words joined by single spaces.
+
+    Plan shape (100 TB):
+
+    1. Window hashes are md5 of the joined span, computed JVM-side and
+       exploded — the shuffle carries (16-byte digest, doc_id, wpos), never
+       the span text. Row blowup is ~n_words per doc but each row is tiny
+       and the stage is linear, the same cost profile as the shingle
+       explode in ``ngram_jaccard_pairs``.
+    2. ONE map-side-combined ``groupBy(digest)`` -> (winner, count); a
+       digest shared by millions of copies (a viral paragraph) is a hot
+       key the partial aggregate absorbs before the shuffle.
+    3. ONE join occurrences->winners on the digest keeping non-winner
+       rows (AQE skew-join splits residual hot digests); only docs that
+       CONTAIN a duplicate span reach the reassembly aggregate.
+    4. ``groupBy(doc_id)`` of duplicate positions -> coverage filter as a
+       codegen'd two-arg array lambda; docs with no duplicate spans pass
+       through the left join unchanged (no aggregate row at all).
+    """
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select("doc_id", words.alias("words"))
+    nw = F.size("words")
+    occ = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                nw >= window,
+                F.transform(
+                    F.sequence(F.lit(0), nw - window),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("words"), i + 1, window))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("wpos", "wh"),
+    )
+    winners = occ.groupBy("wh").agg(F.min(F.struct("doc_id", "wpos")).alias("w"))
+    dup_pos = (
+        occ.join(winners, on="wh")
+        .filter(F.struct("doc_id", "wpos") != F.col("w"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("wpos").alias("dups"))
+    )
+    joined = base.join(dup_pos, on="doc_id", how="left").withColumn(
+        "dups", F.coalesce("dups", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("words"),
+        lambda x, i: ~F.exists(
+            F.col("dups"), lambda p: (i >= p) & (i < p + window)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("words") - F.size(kept)).cast("long").alias("n_dropped_tokens"),
+    )

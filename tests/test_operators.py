@@ -483,3 +483,40 @@ def test_near_dup_clusters_canonical_flags(spark, dup_df):
         reps.setdefault(r["rep"], []).append(r["is_canonical"])
     for rep, flags in reps.items():
         assert sum(flags) == 1 and by_id[rep]["is_canonical"]
+
+
+def test_substring_dedup_keep_first_span(spark):
+    from pycorrector_spark.operators.dedup import substring_dedup
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-word window
+    rows = [
+        (1, run + " unique one"),
+        (2, "prefix two " + run),       # loses the run, keeps its prefix
+        (3, run),                        # loses everything
+        (4, "short doc"),                # < window words: untouched
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in substring_dedup(df).collect()}
+    assert out[1]["clean_text"] == run + " unique one"
+    assert out[1]["n_dropped_tokens"] == 0
+    assert out[2]["clean_text"] == "prefix two"
+    assert out[2]["n_dropped_tokens"] == 8
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped_tokens"] == 8
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_dropped_tokens"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_dropped_tokens"] == 0
+
+
+def test_substring_dedup_intra_doc_overlap(spark):
+    from pycorrector_spark.operators.dedup import substring_dedup
+
+    # "a b" * 9 = 18 words: windows at pos 0..10; window text alternates
+    # between two forms, each repeated -> all windows after the first two
+    # are duplicates; coverage drops every token from pos 2 onward.
+    df = spark.createDataFrame(
+        [(9, " ".join(["a", "b"] * 9))], "doc_id: long, text: string"
+    )
+    row = substring_dedup(df).collect()[0]
+    assert row["clean_text"] == "a b"
+    assert row["n_dropped_tokens"] == 16
