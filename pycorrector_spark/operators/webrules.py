@@ -358,16 +358,21 @@ def with_c4_filter(df: DataFrame, text_col: str = "page_text") -> DataFrame:
         )
         return (n_words >= C4_MIN_WORDS_PER_LINE) & x.rlike(C4_TERMINAL_PUNCT_RE) & ~bad
 
-    kept = F.filter(lines, line_ok)
     doc_bad = F.aggregate(
         F.array(*[F.lit(s) for s in C4_BAD_DOC_SUBSTRINGS]),
         F.lit(False),
         lambda acc, s: acc | F.lower(c).contains(s),
     )
+    # stage the kept-lines array: it is referenced three times below, and
+    # lambda-bound filters are not CSE'd (see with_gopher_columns)
+    staged = df.select("*", F.filter(lines, line_ok).alias("_c4_kept"))
     return (
-        df.withColumn("c4_text", F.array_join(kept, "\n"))
-        .withColumn("c4_n_kept", F.size(kept))
-        .withColumn("c4_keep", (F.size(kept) >= C4_MIN_KEPT_LINES) & ~doc_bad)
+        staged.withColumn("c4_text", F.array_join(F.col("_c4_kept"), "\n"))
+        .withColumn("c4_n_kept", F.size("_c4_kept"))
+        .withColumn(
+            "c4_keep", (F.size("_c4_kept") >= C4_MIN_KEPT_LINES) & ~doc_bad
+        )
+        .drop("_c4_kept")
     )
 
 
