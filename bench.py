@@ -73,10 +73,13 @@ def bench_queries():
         "qf_web_pipeline": q["qf_web_pipeline"],
         "qf_langid_ft": q["qf_langid_ft"],
         "qf_line_dedup": q["qf_line_dedup"],
+        "qf_para_dedup": q["qf_para_dedup"],
+        "qf_ccnet_buckets": q["qf_ccnet_buckets"],
         "qf_host_cap": q["qf_host_cap"],
         "qf_token_budget": q["qf_token_budget"],
         "nb_langid": q["nb_langid"],
         "dedup_exact": q["dedup_exact"],
+        "dedup_substr": q["dedup_substr"],
         "dedup_jaccard": q["dedup_jaccard"],
         "dedup_clusters": q["dedup_clusters"],
         "dedup_incremental": q["dedup_incremental"],
