@@ -763,10 +763,17 @@ def substring_dedup(
             ).otherwise(F.array().cast("array<string>")),
         ).alias("wpos", "wh"),
     )
-    winners = occ.groupBy("wh").agg(F.min(F.struct("doc_id", "wpos")).alias("w"))
+    # packed (doc_id, wpos) winner key: min(struct) would force a
+    # SortAggregate (structs aren't mutable hash-agg buffer types); the
+    # BIGINT packing keeps the winner aggregate hash-based with map-side
+    # combine. Bounds: < 2^20 windows per document, doc_id < 2^43.
+    from .webrules import OCC_POS_LIMIT
+
+    packed = F.col("doc_id") * F.lit(OCC_POS_LIMIT) + F.col("wpos")
+    winners = occ.groupBy("wh").agg(F.min(packed).alias("w"))
     dup_pos = (
         occ.join(winners, on="wh")
-        .filter(F.struct("doc_id", "wpos") != F.col("w"))
+        .filter(packed != F.col("w"))
         .groupBy("doc_id")
         .agg(F.collect_set("wpos").alias("dups"))
     )

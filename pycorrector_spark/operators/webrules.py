@@ -70,6 +70,12 @@ ALPHA_WORD_RE = "[A-Za-z一-龥]"
 BULLET_PREFIXES = ("- ", "* ", "• ")
 ELLIPSIS_SUFFIXES = ("...", "…")
 
+# occurrence packing for keep-first winner aggregates: (doc_id, pos) ->
+# doc_id * LIMIT + pos (shared by paragraph_dedup here and
+# dedup.substring_dedup)
+OCC_POS_LIMIT = 1 << 20
+_OCC_POS_LIMIT = OCC_POS_LIMIT
+
 
 # ---------------------------------------------------------------------------
 # deterministic multi-line page synthesis (Spark side)
@@ -480,13 +486,17 @@ def paragraph_dedup(df: DataFrame, text_col: str = "page_text") -> DataFrame:
     ex = base.select(
         "doc_id", F.posexplode(F.split(F.col("t"), "\n\n")).alias("pos", "para")
     )
+    # winner key packs (doc_id, pos) into one BIGINT: min(struct) forces a
+    # SortAggregate (structs aren't mutable hash-agg buffer types), packing
+    # keeps the winner aggregate in HashAggregate with map-side combine.
+    # Bounds: < 2^20 paragraphs per document, doc_id < 2^43 — within them
+    # the packed ordering equals (doc_id, pos) lexicographic.
+    packed = F.col("doc_id") * F.lit(_OCC_POS_LIMIT) + F.col("pos")
     nonempty = ex.filter(F.col("para") != "").withColumn("pk", F.md5(F.col("para")))
-    winners = nonempty.groupBy("pk").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w")
-    )
+    winners = nonempty.groupBy("pk").agg(F.min(packed).alias("w"))
     kept_dup = (
         nonempty.join(winners, on="pk")
-        .filter(F.struct("doc_id", "pos") == F.col("w"))
+        .filter(packed == F.col("w"))
         .select("doc_id", "pos", "para")
     )
     kept = kept_dup.unionByName(ex.filter(F.col("para") == ""))
