@@ -1234,6 +1234,37 @@ def q_rel_top_nations(spark, sf_dir):
     )
 
 
+def q_rel_bucketed_join(spark, sf_dir):
+    """Revenue per customer nation through BUCKETED catalog tables: both
+    sides are persisted pre-hash-partitioned and pre-sorted on the
+    customer key (storage.write_bucketed — the parquet/catalog stand-in
+    for Iceberg's bucket(N, key) transform), so the join itself needs no
+    Exchange on either side (asserted by tests/test_storage.py; at gate
+    scale AQE may still pick an equally shuffle-free broadcast). Values
+    are layout-independent, which is exactly what the oracle checks."""
+    import tempfile
+
+    from pycorrector_spark.storage import colocated_join, write_bucketed
+
+    _reap_ivf_dirs()
+    base = tempfile.mkdtemp(prefix="sgbucket_")
+    _IVF_DIRS.add(base)
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, "bt_customer", f"{base}/customer", key="c_custkey", buckets=8)
+    write_bucketed(orders, "bt_orders", f"{base}/orders", key="o_custkey", buckets=8)
+    j = colocated_join(
+        spark, "bt_orders", "bt_customer",
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def q_rel_events_daily(spark, sf_dir):
     # date_trunc buckets in the SESSION timezone; the DuckDB oracle
     # truncates the naive/UTC value — sessions built by session.get_spark
@@ -1648,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,
+        "rel_bucketed_join": q_rel_bucketed_join,
         "rel_events_daily": q_rel_events_daily,
         "rel_user_top_event": q_rel_user_top_event,
         "rel_sessionize": q_rel_sessionize,
@@ -2990,6 +3022,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "rel_bucketed_join": """
+            SELECT c_nationkey,
+                   count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "rel_events_daily": """
             SELECT event_type, date_trunc('day', ts) AS day,
