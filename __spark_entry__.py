@@ -1490,6 +1490,53 @@ def q_nb_langid(spark, sf_dir):
     )
 
 
+# DSIR selection fraction (keep the top num/den of docs by importance)
+DSIR_FRAC = (1, 4)
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-ngram importance
+    weight = log p_target(x) - log p_raw(x), estimated here as a 2-class
+    NB log-score difference over char trigrams (target = lang='en' docs,
+    raw = the rest — the same bag-of-hashed-ngrams family DSIR uses);
+    docs in the top quarter by weight are selected.
+
+    Scale shape: NB fit (one shuffle) + broadcast-scored fold, then the
+    CCNet-style histogram cutoff — selection needs NO global sort; the
+    weight is quantized to 0.01 bins whose histogram the driver scans.
+    Weight is rounded to 4dp before binning for the same 1-ulp libm
+    reason as nb_langid, and the oracle mirrors fit, fold, round, bin,
+    and cutoff exactly."""
+    from pycorrector_spark.operators.curation import topfrac_cutoff
+    from pycorrector_spark.operators.nbayes import fit_nb, score_nb
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    lab = docs.withColumn(
+        "dlabel",
+        F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit("target")).otherwise(
+            F.lit("other")
+        ),
+    )
+    model = fit_nb(lab, label_col="dlabel", text_col="text", n=3,
+                   min_count=NB_MIN_COUNT)
+    scored = score_nb(docs, model).select(
+        "doc_id",
+        F.round(F.col("logp_target") - F.col("logp_other"), 4).alias("log_w"),
+    )
+    binned = scored.withColumn(
+        "bin", F.floor(F.col("log_w") * 100).cast("long")
+    )
+    cut = topfrac_cutoff(
+        [(r[0], r[1]) for r in binned.groupBy("bin").count().collect()],
+        *DSIR_FRAC,
+    )
+    return binned.select(
+        "doc_id", "log_w", (F.col("bin") >= F.lit(cut)).alias("dsir_keep")
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-frequency line dedup: lines shared by more than
     LINE_DEDUP_MAX_DF distinct documents (the synthesized boilerplate
@@ -1650,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_substr": q_substr_dedup,
         "nb_langid": q_nb_langid,
+        "dsir_select": q_dsir_select,
         "qf_token_budget": q_token_budget,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -2783,6 +2831,7 @@ def _curation_oracles() -> dict[str, str]:
         "qf_sample": sample,
         "dedup_incremental": incremental,
         "nb_langid": _nb_oracle_sql(),
+        "dsir_select": _dsir_oracle_sql(),
         "qf_token_budget": _SIGNALS_CTE + f"""
             , c AS (
               SELECT doc_id, n_words,
@@ -2848,6 +2897,74 @@ def _nb_oracle_sql() -> str:
                labels[list_position(scores, list_aggregate(scores, 'max'))] AS nb_pred,
                round(list_aggregate(scores, 'max'), 4) AS nb_logp
         FROM scored
+    """
+
+
+def _dsir_oracle_sql() -> str:
+    """Serial mirror of q_dsir_select: the 2-class NB model/fold of
+    _nb_oracle_sql with dlabel = (lang = target), then the rounded
+    log-weight, 0.01 binning, and descending-cumsum top-quarter cutoff."""
+    from pycorrector_spark.operators.nbayes import char_ngrams_sql
+
+    ngrams = char_ngrams_sql("text")
+    num, den = DSIR_FRAC
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id,
+                 CASE WHEN lang = {_sq(DSIR_TARGET_LANG)} THEN 'target'
+                      ELSE 'other' END AS dlabel,
+                 text
+          FROM documents),
+        g AS (SELECT doc_id, dlabel, {ngrams} AS grams FROM docs0),
+        tr AS (SELECT dlabel AS label, unnest(grams) AS gram FROM g),
+        counts AS (SELECT label, gram, count(*) AS c FROM tr GROUP BY label, gram),
+        keptg AS (SELECT gram FROM counts GROUP BY gram HAVING sum(c) >= {NB_MIN_COUNT}),
+        kept AS (SELECT c.label, c.gram, c.c FROM counts c JOIN keptg USING (gram)),
+        labs AS (SELECT dlabel AS label, count(*) AS n_docs FROM docs0 GROUP BY dlabel),
+        tots AS (SELECT label, sum(c) AS t FROM kept GROUP BY label),
+        v AS (SELECT count(DISTINCT gram) AS v FROM kept),
+        model AS (
+          SELECT kg.gram,
+                 list(ln((coalesce(k.c, 0) + 1.0) / (coalesce(t.t, 0) + v.v)) ORDER BY l.label) AS logps
+          FROM keptg kg CROSS JOIN labs l CROSS JOIN v
+               LEFT JOIN tots t ON t.label = l.label
+               LEFT JOIN kept k ON k.gram = kg.gram AND k.label = l.label
+          GROUP BY kg.gram
+        ),
+        meta AS (
+          SELECT list(l.label ORDER BY l.label) AS labels,
+                 list(ln(l.n_docs / CAST((SELECT sum(n_docs) FROM labs) AS DOUBLE)) ORDER BY l.label) AS priors,
+                 list(ln(1.0 / (coalesce(t.t, 0) + v.v)) ORDER BY l.label) AS oovs
+          FROM labs l LEFT JOIN tots t ON t.label = l.label CROSS JOIN v
+        ),
+        gp AS (SELECT doc_id, unnest(generate_series(1, len(grams))) AS pos,
+                      unnest(grams) AS gram FROM g),
+        jg AS (SELECT gp.doc_id, gp.pos, m.logps FROM gp LEFT JOIN model m USING (gram)),
+        seqs AS (SELECT doc_id, list(logps ORDER BY pos) AS seq FROM jg GROUP BY doc_id),
+        sc0 AS (SELECT d.doc_id, coalesce(s.seq, CAST([] AS DOUBLE[][])) AS seq
+                FROM docs0 d LEFT JOIN seqs s USING (doc_id)),
+        scored AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, len(labels)), li ->
+              list_reduce(
+                list_prepend(priors[li], list_transform(seq, x -> coalesce(x[li], oovs[li]))),
+                (acc, y) -> acc + y)) AS scores
+          FROM sc0 CROSS JOIN meta
+        ),
+        wb AS (
+          SELECT doc_id, round(scores[2] - scores[1], 4) AS log_w,
+                 CAST(floor(round(scores[2] - scores[1], 4) * 100) AS BIGINT) AS bin
+          FROM scored
+        ),
+        hist AS (SELECT bin, count(*) AS c FROM wb GROUP BY bin),
+        tot AS (SELECT sum(c) AS total FROM hist),
+        cum AS (SELECT bin, sum(c) OVER (ORDER BY bin DESC) AS cumd FROM hist),
+        cut AS (
+          SELECT max(CASE WHEN cumd >= ({num} * total + {den} - 1) // {den} THEN bin END) AS cb
+          FROM cum CROSS JOIN tot
+        )
+        SELECT doc_id, log_w, bin >= cb AS dsir_keep
+        FROM wb CROSS JOIN cut
     """
 
 

@@ -430,3 +430,22 @@ def ccnet_buckets(df: DataFrame, bin_col: str = "bin") -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return df.withColumn("ppl_bucket", bucket)
+
+
+def topfrac_cutoff(hist: list, num: int = 1, den: int = 4) -> int:
+    """Cutoff bin keeping the TOP ``num/den`` fraction of rows: the
+    largest bin whose from-the-top cumulative count reaches
+    ``ceil(num * total / den)`` (integer arithmetic, mirrored by the
+    oracle SQL's descending window cumsum). Bin granularity means the
+    kept set can slightly overshoot the fraction — never undershoot."""
+    pairs = sorted(((int(b), int(c)) for b, c in hist), reverse=True)
+    total = sum(c for _, c in pairs)
+    k = (num * total + den - 1) // den
+    cum = 0
+    cut = pairs[-1][0] if pairs else 0
+    for b, c in pairs:
+        cum += c
+        if cum >= k:
+            cut = b
+            break
+    return cut

@@ -204,3 +204,34 @@ def test_ccnet_buckets_balanced(spark):
         ccnet_buckets(df).groupBy("ppl_bucket").count().collect()
     )
     assert counts == {"head": 100, "middle": 100, "tail": 100}
+
+
+def test_topfrac_cutoff_rules():
+    from pycorrector_spark.operators.curation import topfrac_cutoff
+
+    # 40 rows over 4 bins: top quarter (10 rows) = exactly the top bin
+    assert topfrac_cutoff([(1, 10), (2, 10), (3, 10), (4, 10)], 1, 4) == 4
+    # overshoot allowed, undershoot never: k=ceil(5/4)=2 needs 2 bins
+    assert topfrac_cutoff([(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)], 1, 4) == 4
+    # one giant bin swallows the cut
+    assert topfrac_cutoff([(7, 100)], 1, 4) == 7
+    # unsorted input
+    assert topfrac_cutoff([(2, 10), (4, 10), (1, 10), (3, 10)], 1, 2) == 3
+
+
+def test_dsir_weight_prefers_target_like_docs(spark):
+    from pycorrector_spark.operators.nbayes import fit_nb, score_nb
+    from pyspark.sql import functions as F
+
+    rows = [(i, "target", "the quick brown fox jumps high") for i in range(10)]
+    rows += [(100 + i, "other", "zzz qqq kkk vvv xxx www") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, dlabel: string, text: string")
+    model = fit_nb(df, label_col="dlabel", text_col="text", n=3, min_count=1)
+    w = (
+        score_nb(df, model)
+        .select("doc_id", (F.col("logp_target") - F.col("logp_other")).alias("w"))
+        .collect()
+    )
+    ws = {r["doc_id"]: r["w"] for r in w}
+    assert all(ws[i] > 0 for i in range(10))          # target-like: positive
+    assert all(ws[100 + i] < 0 for i in range(10))    # other-like: negative
