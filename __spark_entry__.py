@@ -1490,6 +1490,31 @@ def q_nb_langid(spark, sf_dir):
     )
 
 
+def q_fix_encoding(spark, sf_dir):
+    """ftfy-style mojibake repair over a pool of clean / singly- /
+    doubly-corrupted strings in latin-1 and cp1252 flavors: repaired text
+    plus a was_mojibake flag, hash-checked against the serial codec."""
+    from pycorrector_spark.fixtures import MOJIBAKE_POOL
+    from pycorrector_spark.operators.encfix import with_fixed_encoding
+
+    return with_fixed_encoding(
+        _pool_docs(spark, sf_dir, MOJIBAKE_POOL)
+    ).select("doc_id", "fixed_text", "was_mojibake")
+
+
+def _fix_encoding_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import MOJIBAKE_POOL
+    from pycorrector_spark.operators.encfix import fix_mojibake
+
+    rows = [
+        (i, (t, bool(m)))
+        for i, (t, m) in enumerate(fix_mojibake(s) for s in MOJIBAKE_POOL)
+    ]
+    return _pool_oracle_sql(
+        len(MOJIBAKE_POOL), ["fixed_text", "was_mojibake"], rows
+    )
+
+
 # DSIR selection fraction (keep the top num/den of docs by importance)
 DSIR_FRAC = (1, 4)
 DSIR_TARGET_LANG = "en"
@@ -1698,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr": q_substr_dedup,
         "nb_langid": q_nb_langid,
         "dsir_select": q_dsir_select,
+        "qf_fix_encoding": q_fix_encoding,
         "qf_token_budget": q_token_budget,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -2832,6 +2858,7 @@ def _curation_oracles() -> dict[str, str]:
         "dedup_incremental": incremental,
         "nb_langid": _nb_oracle_sql(),
         "dsir_select": _dsir_oracle_sql(),
+        "qf_fix_encoding": _fix_encoding_oracle_sql(),
         "qf_token_budget": _SIGNALS_CTE + f"""
             , c AS (
               SELECT doc_id, n_words,

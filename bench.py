@@ -78,6 +78,8 @@ def bench_queries():
         "qf_host_cap": q["qf_host_cap"],
         "qf_token_budget": q["qf_token_budget"],
         "nb_langid": q["nb_langid"],
+        "dsir_select": q["dsir_select"],
+        "rel_bucketed_join": q["rel_bucketed_join"],
         "dedup_exact": q["dedup_exact"],
         "dedup_substr": q["dedup_substr"],
         "dedup_jaccard": q["dedup_jaccard"],

@@ -365,3 +365,28 @@ def make_eval_pairs(n: int = 120, seed: int = 7) -> pd.DataFrame:
             src = tgt
         rows.append((src, tgt))
     return pd.DataFrame(rows, columns=["src", "tgt"])
+
+
+def _mojibake(s: str, enc: str = "latin-1", times: int = 1) -> str:
+    """Corrupt ``s`` the way real pipelines do: utf-8 bytes mis-decoded as
+    a single-byte codepage, ``times`` generations deep."""
+    for _ in range(times):
+        s = s.encode("utf-8").decode(enc)
+    return s
+
+
+# encoding-repair pool: clean ASCII / clean accented / clean CJK text,
+# single and double mojibake in latin-1 and cp1252 flavors, and a
+# latin-1-native string that must pass through untouched
+MOJIBAKE_POOL = [
+    "plain ascii stays untouched",
+    "café déjà vu — naïve façade",
+    _mojibake("café déjà vu — naïve façade"),
+    _mojibake("café déjà vu — naïve façade", times=2),
+    _mojibake("smart “quote and – dash", enc="cp1252"),
+    _mojibake("中文字符的编码损坏测试"),
+    "中文字符未损坏",
+    _mojibake("übergroße Straßenbahn"),
+    "caf\xe9 already latin-1 native",  # not mojibake: must not change
+    "",
+]
