@@ -79,6 +79,7 @@ def bench_queries():
         "qf_token_budget": q["qf_token_budget"],
         "nb_langid": q["nb_langid"],
         "dsir_select": q["dsir_select"],
+        "qf_fix_encoding": q["qf_fix_encoding"],
         "rel_bucketed_join": q["rel_bucketed_join"],
         "dedup_exact": q["dedup_exact"],
         "dedup_substr": q["dedup_substr"],
