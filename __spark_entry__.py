@@ -619,7 +619,10 @@ def q_ccnet_buckets(spark, sf_dir):
     scored = ensure_parallelism(_pool_docs(spark, sf_dir, PPL_POOL)).mapInPandas(
         fn, "doc_id long, ppl double, bin long"
     )
-    return ccnet_buckets(scored).select("doc_id", "ppl", "ppl_bucket")
+    bucketed = ccnet_buckets(scored)
+    out = bucketed.select("doc_id", "ppl", "ppl_bucket")
+    out._cached_deps = getattr(bucketed, "_cached_deps", ())
+    return out
 
 
 def q_lm_ppl_binary(spark, sf_dir):
@@ -1550,16 +1553,20 @@ def q_dsir_select(spark, sf_dir):
         "doc_id",
         F.round(F.col("logp_target") - F.col("logp_other"), 4).alias("log_w"),
     )
+    # persist across the histogram action and the returned plan — the NB
+    # fold would otherwise run twice (once per action)
     binned = scored.withColumn(
         "bin", F.floor(F.col("log_w") * 100).cast("long")
-    )
+    ).persist()
     cut = topfrac_cutoff(
         [(r[0], r[1]) for r in binned.groupBy("bin").count().collect()],
         *DSIR_FRAC,
     )
-    return binned.select(
+    out = binned.select(
         "doc_id", "log_w", (F.col("bin") >= F.lit(cut)).alias("dsir_keep")
     )
+    out._cached_deps = (binned,)  # dedup.release_cached after the action
+    return out
 
 
 def q_line_dedup(spark, sf_dir):

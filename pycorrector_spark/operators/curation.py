@@ -420,7 +420,13 @@ def ccnet_buckets(df: DataFrame, bin_col: str = "bin") -> DataFrame:
     global sort), then a narrow map stamping the label. Total cost: one
     aggregate shuffle of ~bins rows; no window, no global sort, no
     repartition of the corpus.
+
+    ``df`` is persisted across the histogram action and the returned
+    labeling plan (the scoring that produced the bins — an LM pass, an NB
+    fold — would otherwise run twice); release with
+    ``dedup.release_cached`` after the final action.
     """
+    df = df.persist()
     c1, c2 = tercile_cutoffs(
         [(r[0], r[1]) for r in df.groupBy(bin_col).count().collect()]
     )
@@ -429,7 +435,9 @@ def ccnet_buckets(df: DataFrame, bin_col: str = "bin") -> DataFrame:
         .when(F.col(bin_col) <= F.lit(c2), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return df.withColumn("ppl_bucket", bucket)
+    out = df.withColumn("ppl_bucket", bucket)
+    out._cached_deps = (df,)  # dedup.release_cached(out) after the action
+    return out
 
 
 def topfrac_cutoff(hist: list, num: int = 1, den: int = 4) -> int:
