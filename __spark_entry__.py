@@ -1488,9 +1488,13 @@ def q_nb_langid(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     model = fit_nb(docs, label_col="lang", text_col="text", n=3,
                    min_count=NB_MIN_COUNT)
-    return score_nb(docs, model).select(
+    out = score_nb(docs, model).select(
         "doc_id", "nb_pred", F.round("nb_logp", 4).alias("nb_logp")
     )
+    # dedup.release_cached(out) after the action unpersists the fit's
+    # gram relation (bench.py does this per rep)
+    out._cached_deps = (model._cached,)
+    return out
 
 
 def q_fix_encoding(spark, sf_dir):
@@ -1565,7 +1569,9 @@ def q_dsir_select(spark, sf_dir):
     out = binned.select(
         "doc_id", "log_w", (F.col("bin") >= F.lit(cut)).alias("dsir_keep")
     )
-    out._cached_deps = (binned,)  # dedup.release_cached after the action
+    # dedup.release_cached after the action: the scored relation AND the
+    # NB fit's gram relation
+    out._cached_deps = (binned, model._cached)
     return out
 
 

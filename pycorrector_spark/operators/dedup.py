@@ -766,10 +766,10 @@ def substring_dedup(
     # packed (doc_id, wpos) winner key: min(struct) would force a
     # SortAggregate (structs aren't mutable hash-agg buffer types); the
     # BIGINT packing keeps the winner aggregate hash-based with map-side
-    # combine. Bounds: < 2^20 windows per document, doc_id < 2^43.
-    from .webrules import OCC_POS_LIMIT
+    # combine. Bound (< 2^20 windows/doc) is runtime-enforced by the guard.
+    from .webrules import packed_occurrence
 
-    packed = F.col("doc_id") * F.lit(OCC_POS_LIMIT) + F.col("wpos")
+    packed = packed_occurrence(F.col("doc_id"), F.col("wpos"))
     winners = occ.groupBy("wh").agg(F.min(packed).alias("w"))
     dup_pos = (
         occ.join(winners, on="wh")

@@ -5,9 +5,12 @@ Web crawls are full of double-encoded text: a page's utf-8 bytes get read
 as latin-1/cp1252 somewhere upstream, turning "café" into "cafÃ©" (and,
 one generation deeper, "cafÃ\x83Â©"). The repair is the exact inverse —
 re-encode with the suspected codepage and decode as utf-8 — applied only
-when it round-trips cleanly, so clean text (ASCII, CJK, genuinely
-accented Latin) can never be corrupted: its bytes are not valid utf-8
-under the reverse mapping and the attempt is abandoned.
+when it round-trips cleanly. In practice clean text (ASCII, CJK,
+genuinely accented Latin) is untouched because its codepage bytes are
+not valid multi-byte utf-8; the exception ftfy also accepts is text that
+deliberately QUOTES mojibake (a page about encodings containing a
+literal "Ã©") — it round-trips and gets "repaired", so was_mojibake is a
+heuristic signal, not a guarantee.
 
 The reference normalizes text at the character level (uniform/B2Q,
 pycorrector/utils/text_utils.py) but assumes clean unicode in; this is

@@ -74,7 +74,23 @@ ELLIPSIS_SUFFIXES = ("...", "…")
 # doc_id * LIMIT + pos (shared by paragraph_dedup here and
 # dedup.substring_dedup)
 OCC_POS_LIMIT = 1 << 20
-_OCC_POS_LIMIT = OCC_POS_LIMIT
+
+
+def packed_occurrence(doc_id: Column, pos: Column) -> Column:
+    """(doc_id, pos) packed into one BIGINT whose ordering equals the
+    lexicographic pair ordering while ``pos < OCC_POS_LIMIT``. The bound
+    is ENFORCED: a row beyond it raises at runtime instead of silently
+    colliding with the next doc_id's positions (assert_true yields NULL
+    when the predicate holds, so the coalesce adds 0 on the happy path)."""
+    guard = F.coalesce(
+        F.assert_true(
+            pos < OCC_POS_LIMIT,
+            F.lit(f"occurrence position >= {OCC_POS_LIMIT}; packed winner "
+                  "keys would collide — raise OCC_POS_LIMIT"),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    return doc_id * F.lit(OCC_POS_LIMIT) + pos + guard
 
 
 # ---------------------------------------------------------------------------
@@ -489,9 +505,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "page_text") -> DataFrame:
     # winner key packs (doc_id, pos) into one BIGINT: min(struct) forces a
     # SortAggregate (structs aren't mutable hash-agg buffer types), packing
     # keeps the winner aggregate in HashAggregate with map-side combine.
-    # Bounds: < 2^20 paragraphs per document, doc_id < 2^43 — within them
-    # the packed ordering equals (doc_id, pos) lexicographic.
-    packed = F.col("doc_id") * F.lit(_OCC_POS_LIMIT) + F.col("pos")
+    # Bound (< 2^20 paragraphs/doc) is runtime-enforced by the guard.
+    packed = packed_occurrence(F.col("doc_id"), F.col("pos"))
     nonempty = ex.filter(F.col("para") != "").withColumn("pk", F.md5(F.col("para")))
     winners = nonempty.groupBy("pk").agg(F.min(packed).alias("w"))
     kept_dup = (
