@@ -1703,7 +1703,36 @@ def q_web_pipeline(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate records queries in
+    # dict order and has historically capped the window at 50 entries
+    # (CORRECTNESS_r03 proved only the first 50 of 66). Highest-risk
+    # queries therefore come FIRST: (a) entries never green in any driver
+    # artifact, (b) entries whose code changed this round, then (c) the
+    # long-stable greens (already proven in CORRECTNESS_r03).
     return {
+        # --- (a) never driver-proven before round 4 -----------------------
+        "qf_detect": q_detect,
+        "zh_proper": q_proper,
+        "zh_correct_full": q_zh_correct_full,
+        "en_spell_full": q_en_spell_full,
+        "zh_confusion": q_confusion,
+        "eval_f1": q_eval_f1,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
+        "media_features": q_media_features,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_nations": q_rel_top_nations,
+        "rel_bucketed_join": q_rel_bucketed_join,
+        "rel_events_daily": q_rel_events_daily,
+        "rel_user_top_event": q_rel_user_top_event,
+        "rel_sessionize": q_rel_sessionize,
+        # --- (b) changed this round --------------------------------------
+        "qf_token_budget": q_token_budget,
+        "dedup_substr": q_substr_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "qf_para_dedup": q_paragraph_dedup,
+        # --- (c) stable greens (all green in CORRECTNESS_r03) ------------
         "qf_quality_signals": q_quality_signals,
         "qf_langid": q_langid,
         "qf_keep_cheap": q_keep_cheap,
@@ -1728,16 +1757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
         "qf_line_dedup": q_line_dedup,
-        "qf_para_dedup": q_paragraph_dedup,
         "qf_host_cap": q_host_cap,
         "qf_sample": q_sample_hash,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_substr": q_substr_dedup,
         "nb_langid": q_nb_langid,
         "dsir_select": q_dsir_select,
         "qf_fix_encoding": q_fix_encoding,
-        "qf_token_budget": q_token_budget,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1754,22 +1779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_agreement": q_langid_agreement,
         "qf_langid_ft": q_langid_ft,
         "en_spell": q_en_spell,
-        "qf_detect": q_detect,
-        "zh_proper": q_proper,
-        "zh_correct_full": q_zh_correct_full,
-        "en_spell_full": q_en_spell_full,
-        "zh_confusion": q_confusion,
-        "eval_f1": q_eval_f1,
-        "ann_cosine_topk": q_ann_cosine,
-        "ann_lsh_topk": q_ann_lsh,
-        "ann_ivf_topk": q_ann_ivf,
-        "media_features": q_media_features,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_top_nations": q_rel_top_nations,
-        "rel_bucketed_join": q_rel_bucketed_join,
-        "rel_events_daily": q_rel_events_daily,
-        "rel_user_top_event": q_rel_user_top_event,
-        "rel_sessionize": q_rel_sessionize,
     }
 
 

@@ -132,8 +132,10 @@ def select_token_budget(
     )
     offsets, run = [], 0
     for r in buckets:
-        if run >= budget:
+        if run > budget:
             break  # bucket starts past the budget: nothing in it survives
+        # run == budget is NOT pruned: zero-token rows in that bucket have
+        # inclusive cum_tokens == budget and the contract keeps them.
         offsets.append((r[score_col], run))
         run += r["bt"]
     spark = df.sparkSession

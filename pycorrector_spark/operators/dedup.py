@@ -652,6 +652,7 @@ def connected_components(
         .distinct()
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         row = edges.agg(
@@ -663,8 +664,17 @@ def connected_components(
         ).head()
         cur = (row["n"], row["ck"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the star-shape assumption behind the leaves/roots extraction
+        # below only holds at the fixpoint — failing loudly beats
+        # silently wrong rep/is_canonical labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds the round budget)"
+        )
     # converged edges form stars (leaf -> component min); roots map to self
     leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("rep"))
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("rep")).distinct()

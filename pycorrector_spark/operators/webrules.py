@@ -82,11 +82,13 @@ def packed_occurrence(doc_id: Column, pos: Column) -> Column:
     is ENFORCED: a row beyond it raises at runtime instead of silently
     colliding with the next doc_id's positions (assert_true yields NULL
     when the predicate holds, so the coalesce adds 0 on the happy path)."""
+    doc_limit = ((1 << 63) - 1) // OCC_POS_LIMIT  # BIGINT overflow bound
     guard = F.coalesce(
         F.assert_true(
-            pos < OCC_POS_LIMIT,
-            F.lit(f"occurrence position >= {OCC_POS_LIMIT}; packed winner "
-                  "keys would collide — raise OCC_POS_LIMIT"),
+            (pos < OCC_POS_LIMIT) & (doc_id < F.lit(doc_limit)) & (doc_id >= 0),
+            F.lit(f"occurrence out of packing range (pos < {OCC_POS_LIMIT}, "
+                  f"0 <= doc_id < {doc_limit}); packed winner keys would "
+                  "collide or wrap — raise OCC_POS_LIMIT / repartition ids"),
         ).cast("bigint"),
         F.lit(0),
     )

@@ -142,8 +142,11 @@ def stream_dedup_first_seen(
     import pandas as pd
 
     keyed = docs.withColumn("dedup_key", F.expr(key_expr))
-    # carry url + text through; first-wins within a batch is defined by
-    # url order (deterministic for a parquet micro-batch: file+row order)
+    # carry url + text through; the representative row for a key
+    # duplicated within one micro-batch is the MIN-url row across ALL of
+    # the group's chunks — a deterministic choice regardless of how the
+    # groupBy shuffle orders rows (within-group order is not a Spark
+    # contract, so "first chunk, first row" would vary across retries)
     out_schema = (
         "dedup_key string, url string, text string, first_in_batch long"
     )
@@ -155,8 +158,9 @@ def stream_dedup_first_seen(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            if first_row is None:
-                first_row = pdf.iloc[0]
+            cand = pdf.loc[pdf["url"].idxmin()]
+            if first_row is None or cand["url"] < first_row["url"]:
+                first_row = cand
             n_new += len(pdf)
         if state.exists:
             (n_seen,) = state.get
