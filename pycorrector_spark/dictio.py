@@ -316,4 +316,14 @@ def full_dims() -> dict:
         "proper_names": load_set_file(_p("proper_name.txt")),
         "en_word_freq": load_json_gz_freq(_p("en.json.gz")),
         "stopwords": load_set_file(_p("stopwords.txt")),
+        # canonical single toneless reading per char (lazy_pinyin role),
+        # derived from public glibc collation data — see pinyin_dim.py;
+        # {} when /usr/share/i18n/locales/iso14651_t1_pinyin is absent
+        "pinyin_canonical": _pinyin_canonical(),
     }
+
+
+def _pinyin_canonical() -> dict:
+    from .pinyin_dim import char_pinyin_table
+
+    return char_pinyin_table()

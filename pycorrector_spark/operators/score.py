@@ -38,7 +38,7 @@ class Artifacts:
     def __init__(self, lm: CharNgramLM, word_freq, confusion, similar, stopwords,
                  en_word_freq, en_confusion, cfg: PipelineConfig, en_index=None,
                  proper=None, pinyin_classes=None, char_universe=None,
-                 pinyin_readings=None):
+                 pinyin_readings=None, pinyin_canonical=None):
         self.lm = lm
         self.word_freq = word_freq
         self.confusion = confusion
@@ -52,6 +52,7 @@ class Artifacts:
         self.pinyin_classes = pinyin_classes  # C1 same-pinyin class map (legacy)
         self.char_universe = char_universe    # C1 replacement-char pool
         self.pinyin_readings = pinyin_readings  # C1 polyphone-correct readings
+        self.pinyin_canonical = pinyin_canonical  # char -> single toneless reading
         # stable identity for the worker cache: survives any pyspark
         # rename of Broadcast._path (the fallback key below)
         import uuid
@@ -124,8 +125,10 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
     for w in dims["stopwords"]:
         word_freq.setdefault(w, 1)
 
+    canonical = dims.get("pinyin_canonical") or None
     proper = ProperCorrector(
-        dims["proper_names"], stroke_codes=dims["stroke_codes"] or None
+        dims["proper_names"], stroke_codes=dims["stroke_codes"] or None,
+        pinyin_table=canonical,
     ) if dims["proper_names"] else None
 
     from ..dictio import pinyin_reading_map
@@ -149,6 +152,11 @@ def build_full_artifacts(cfg: PipelineConfig = DEFAULT_CONFIG) -> Artifacts:
         # replacement universe (corrector.py:152-161); None fallbacks
         # keep the embedded-dim behavior when files are absent
         pinyin_readings=readings or None,
+        # C1 at reference fidelity: the canonical single-reading table
+        # (pinyin_dim.char_pinyin_table, lazy_pinyin role) gates the
+        # same-pinyin filter by EQUALITY for covered chars; the reading
+        # SETS above remain the fallback for uncovered chars
+        pinyin_canonical=canonical,
         char_universe=sorted(dims["common_chars"]) or None,
     )
 
@@ -195,6 +203,7 @@ def make_workers(art: Artifacts):
         pinyin_classes=getattr(art, "pinyin_classes", None),
         char_universe=getattr(art, "char_universe", None),
         pinyin_readings=getattr(art, "pinyin_readings", None),
+        pinyin_canonical=getattr(art, "pinyin_canonical", None),
     )
     en = EnSpellCorrector(art.en_word_freq, art.en_confusion,
                           index=getattr(art, "en_index", None))

@@ -227,13 +227,19 @@ class Corrector(Detector):
 
     def __init__(self, *, similar_chars: dict = None, ppl_threshold: float = None,
                  pinyin_classes: dict = None, char_universe=None,
-                 pinyin_readings: dict = None, **kwargs):
+                 pinyin_readings: dict = None, pinyin_canonical: dict = None,
+                 **kwargs):
         super().__init__(**kwargs)
         self.similar_chars = {k: set(v) for k, v in (similar_chars or {}).items()}
         if ppl_threshold is not None:
             self.PPL_THRESHOLD = ppl_threshold
         # same-pinyin machinery for candidate generation (C1), in order of
         # preference:
+        # - pinyin_canonical: char -> ONE toneless reading (pinyin_dim.
+        #   char_pinyin_table) — the reference-fidelity path: lazy_pinyin
+        #   equality (corrector.py:152-161) compares exactly one canonical
+        #   reading per char, polyphones collapsed; chars outside the
+        #   table fall through to the next mechanism
         # - pinyin_readings: char -> frozenset of reading-group ids
         #   (dictio.pinyin_reading_map, ~3.3k chars, polyphone-correct —
         #   no transitive merge); two chars share a pinyin iff their
@@ -247,6 +253,7 @@ class Corrector(Detector):
         #   (corrector.py:154-161); default stays the embedded pinyin dim
         self.pinyin_readings = dict(pinyin_readings) if pinyin_readings else None
         self.pinyin_classes = dict(pinyin_classes) if pinyin_classes else None
+        self.pinyin_canonical = dict(pinyin_canonical) if pinyin_canonical else None
         self._char_universe = tuple(char_universe) if char_universe else None
 
     def _confusion_char_set(self, c: str) -> set:
@@ -270,11 +277,18 @@ class Corrector(Detector):
         return tuple(pinyin_of(c) for c in word)
 
     def _same_char_pinyin(self, a: str, b: str) -> bool:
-        """True iff chars a and b share a toneless reading: reading-set
-        intersection under the polyphone-correct reading map (a char IS
-        its own homophone), else per-char key equality."""
+        """True iff chars a and b share a toneless reading. Preference
+        order: canonical single-reading EQUALITY (the reference's
+        lazy_pinyin(a) == lazy_pinyin(b) contract) when both chars are in
+        the canonical table; reading-set intersection as the fallback for
+        uncovered chars; else per-char key equality."""
         if a == b:
             return True
+        if self.pinyin_canonical is not None:
+            ca = self.pinyin_canonical.get(a)
+            cb = self.pinyin_canonical.get(b)
+            if ca is not None and cb is not None:
+                return ca == cb
         if self.pinyin_readings is not None:
             ra = self.pinyin_readings.get(a)
             rb = self.pinyin_readings.get(b)
