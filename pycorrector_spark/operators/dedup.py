@@ -790,14 +790,33 @@ def substring_dedup(
     joined = base.join(dup_pos, on="doc_id", how="left").withColumn(
         "dups", F.coalesce("dups", F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("words"),
-        lambda x, i: ~F.exists(
-            F.col("dups"), lambda p: (i >= p) & (i < p + window)
-        ),
+    # LINEAR coverage filter (was: per-word `exists` over the dup-position
+    # array, O(n_words x n_dups) per doc — quadratic on a pathological
+    # fully-duplicated long doc). New shape, all codegen'd JVM array ops:
+    #   covered  = distinct(flatten(dup windows))      O(n_dups * window)
+    #   kept_pos = array_except(0..n-1, covered)       hash set, O(n)
+    #   clean    = words[kept_pos]                     O(n)
+    # array_except preserves first-array order, so word order survives.
+    # Dup window starts never exceed n-window, so no end clamping needed.
+    # Multi-referenced HOF arrays are staged through projection aliases
+    # (codegen CSE skips lambda expressions — see BENCH/NOTES.md).
+    nw2 = F.size("words")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("dups"), lambda p: F.sequence(p, p + window - 1))
+        )
     )
-    return joined.select(
+    all_pos = F.when(nw2 > 0, F.sequence(F.lit(0), nw2 - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    staged = joined.select(
+        "doc_id", "words", F.array_except(all_pos, covered).alias("kept_pos")
+    )
+    kept = F.transform(
+        F.col("kept_pos"), lambda j: F.element_at(F.col("words"), j + 1)
+    )
+    return staged.select(
         "doc_id",
         F.array_join(kept, " ").alias("clean_text"),
-        (F.size("words") - F.size(kept)).cast("long").alias("n_dropped_tokens"),
+        (F.size("words") - F.size("kept_pos")).cast("long").alias("n_dropped_tokens"),
     )
