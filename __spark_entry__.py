@@ -1149,6 +1149,102 @@ def q_media_features(spark, sf_dir):
     )
 
 
+# source/checkpoint dirs created by q_stream_dedup in this process (same
+# reap discipline as the IVF index dirs)
+_STREAM_DIRS: set = set()
+
+
+def _reap_stream_dirs():
+    import shutil
+
+    for old in list(_STREAM_DIRS):
+        shutil.rmtree(old, ignore_errors=True)
+        _STREAM_DIRS.discard(old)
+
+
+atexit.register(_reap_stream_dirs)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Structured Streaming first-seen dedup (§2.9) driven END TO END as a
+    bounded job: the sf docs subset is replayed as TWO deterministic
+    micro-batches (doc_id parity; one availableNow pass per batch against
+    a shared checkpoint, so batch boundaries don't depend on file-listing
+    order), through the applyInPandasWithState operator
+    (streaming.stream_dedup_first_seen), collecting update-mode output via
+    foreachBatch.
+
+    The docs table has NO naturally duplicated texts (verified at sf0.01),
+    so both stateful paths are exercised by injected duplicates:
+    batch 0 = docs [0, 200); batch 1 = docs [100, 300) — rows [100, 200)
+    are exact re-crawls SUPPRESSED by cross-batch state — plus mirror
+    copies of [250, 300) under a different url (doc_id + 1000), which the
+    in-batch collapse merges (first_in_batch == 2, min-url winner).
+
+    Deterministic by construction: the representative row per key is the
+    MIN-url row of the key's first batch (streaming.py), so the oracle is
+    plain SQL over the same injected union: group by content key,
+    first batch = min(b), url = min(url) and first_in_batch = count(*)
+    within that batch."""
+    import tempfile
+
+    from pycorrector_spark.streaming import stream_dedup_first_seen
+
+    _reap_stream_dirs()
+    root = tempfile.mkdtemp(prefix="pycorrector_spark_stream_")
+    _STREAM_DIRS.add(root)
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+
+    # documents.parquet carries no url column; synthesize the webpage url
+    # deterministically from (source, doc_id) — the oracle repeats the
+    # same concat, so the min-url representative choice is comparable
+    def pages(df):
+        return df.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.coalesce("source", F.lit("x")),
+                F.lit("/"), F.col("doc_id"),
+            ).alias("url"),
+            "text",
+        )
+
+    d = _docs(spark, sf_dir)
+    batch0 = pages(d.filter(F.col("doc_id") < 200))
+    mirrors = d.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 300)
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+    batch1 = pages(
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    ).unionByName(pages(mirrors))
+    batches = [batch0, batch1]
+    schema = "doc_id long, url string, text string"
+    collected: list = []
+
+    def sink(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    for b, bdf in enumerate(batches):
+        bdf.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            stream_dedup_first_seen(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .withColumn("first_batch", F.lit(b))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.createDataFrame(
+        [(r["dedup_key"], r["url"], int(r["first_in_batch"]), int(r["first_batch"]))
+         for r in collected],
+        "dedup_key string, url string, first_in_batch long, first_batch int",
+    )
+
+
 def q_zh_correct_full(spark, sf_dir):
     """Full correction path (C1-C7) against REFERENCE-SCALE dimensions
     (S3-S8 file-format loaders): char confusion sets from the real
@@ -1727,7 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_daily": q_rel_events_daily,
         "rel_user_top_event": q_rel_user_top_event,
         "rel_sessionize": q_rel_sessionize,
-        # --- (b) changed this round --------------------------------------
+        # --- (b) new or changed this round -------------------------------
+        "stream_dedup": q_stream_dedup,
         "qf_token_budget": q_token_budget,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -3022,6 +3119,31 @@ def oracle_sql() -> dict[str, str]:
         **_webrules_oracles(),
         **_htmlx_oracles(),
         **_curation_oracles(),
+        "stream_dedup": f"""
+            WITH sub AS (
+              SELECT 'https://' || coalesce(source, 'x') || '/' || doc_id AS url,
+                     md5(coalesce(text, '')) AS dedup_key,
+                     0 AS b
+              FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT 'https://' || coalesce(source, 'x') || '/' || doc_id,
+                     md5(coalesce(text, '')), 1
+              FROM documents WHERE doc_id >= 100 AND doc_id < 300
+              UNION ALL
+              SELECT 'https://' || coalesce(source, 'x') || '/' || (doc_id + 1000),
+                     md5(coalesce(text, '')), 1
+              FROM documents WHERE doc_id >= 250 AND doc_id < 300
+            ),
+            fb AS (SELECT dedup_key, min(b) AS first_batch
+                   FROM sub GROUP BY dedup_key)
+            SELECT s.dedup_key,
+                   min(s.url) AS url,
+                   count(*) AS first_in_batch,
+                   f.first_batch
+            FROM sub s
+            JOIN fb f ON s.dedup_key = f.dedup_key AND s.b = f.first_batch
+            GROUP BY s.dedup_key, f.first_batch
+        """,
         "qf_quality_signals": _SIGNALS_CTE + """
             SELECT doc_id, n_chars, n_words, symbol_ratio, rep_ratio, len_ok FROM sig2
         """,

@@ -294,6 +294,120 @@ def run_skew(sf_dir: str, cpus: int, n_hot: int = 40_000) -> dict:
     }
 
 
+def run_bucketed(sf_dir: str, cpus: int, replicate: int = 64, n_joins: int = 5) -> dict:
+    """Bucketed vs plain-parquet layout for a repeated big-big join — the
+    measured evidence behind storage.py's zero-Exchange claim.
+
+    Workload shape: the incremental-snapshot join a crawl pipeline runs
+    every cycle — current docs (doc_id, text) joined to the prior
+    snapshot's per-doc record on doc_id, both sides too big to broadcast
+    (the docs table replicated ``replicate``x with disjoint id ranges,
+    text carried through the join on BOTH sides so the shuffle, when
+    there is one, moves real bytes). Each layout pays its write once,
+    then runs the join ``n_joins`` times — the write-once/join-forever
+    amortization bucketing is for. Reports per-join time, write time, and
+    whether the physical plan contains an Exchange."""
+    from pyspark.sql import functions as F
+
+    from pycorrector_spark.storage import colocated_join, has_exchange, write_bucketed
+
+    spark = _make_spark(cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # AQE would notice the post-scan size and broadcast at gate scale;
+    # production snapshot sides are TBs — force the big-big regime so the
+    # comparison measures shuffle-vs-no-shuffle, not broadcast luck
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    big = (
+        docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") + F.col("rep") * F.lit(1 << 32)).alias("doc_id"), "text")
+    )
+    snapshot = big.select("doc_id", F.length("text").alias("prior_len"),
+                          F.col("text").alias("prior_text"))
+
+    import shutil, tempfile
+
+    base = tempfile.mkdtemp(prefix="sgbucketbench_")
+    results = {}
+    try:
+        # plain layout: parquet files, every join shuffles both sides
+        t0 = time.time()
+        big.write.mode("overwrite").parquet(f"{base}/docs_plain")
+        snapshot.write.mode("overwrite").parquet(f"{base}/snap_plain")
+        write_plain = time.time() - t0
+        dp = spark.read.parquet(f"{base}/docs_plain")
+        sp = spark.read.parquet(f"{base}/snap_plain")
+
+        def join_plain():
+            return (
+                dp.join(sp, on="doc_id")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.length("text") + F.col("prior_len")).alias("s"))
+            )
+
+        # bucketed layout: one-time bucketed write, joins are Exchange-free
+        t0 = time.time()
+        write_bucketed(big, "bb_docs", f"{base}/docs_bucket", key="doc_id", buckets=cpus)
+        write_bucketed(snapshot, "bb_snap", f"{base}/snap_bucket", key="doc_id", buckets=cpus)
+        write_bucket = time.time() - t0
+
+        def join_bucket():
+            return (
+                colocated_join(spark, "bb_docs", "bb_snap", on="doc_id")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.length("text") + F.col("prior_len")).alias("s"))
+            )
+
+        def n_exchanges(df):
+            # shuffle Exchanges in the whole plan; the final 1-group agg
+            # contributes one on BOTH layouts, so the plain-vs-bucketed
+            # delta isolates the JOIN's shuffles
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return sum(
+                1 for line in plan.splitlines()
+                if line.strip().lstrip("+-: ").startswith("Exchange")
+                and "Broadcast" not in line
+            )
+
+        for name, fn in (("plain", join_plain), ("bucketed", join_bucket)):
+            fn().collect()  # warm
+            best = None
+            for _ in range(n_joins):
+                t1 = time.time()
+                fn().collect()
+                el = time.time() - t1
+                best = el if best is None else min(best, el)
+            results[name] = {
+                "per_join_sec": round(best, 3),
+                "n_exchanges": n_exchanges(fn()),
+            }
+        results["plain"]["write_sec"] = round(write_plain, 3)
+        results["bucketed"]["write_sec"] = round(write_bucket, 3)
+        n_rows = dp.count()
+    finally:
+        for t in ("bb_docs", "bb_snap"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+    speedup = round(results["plain"]["per_join_sec"] / results["bucketed"]["per_join_sec"], 2)
+    return {
+        "metric": "bucketed_join_speedup",
+        "value": speedup,
+        "unit": "ratio",
+        "queries": {
+            "join_plain": results["plain"]["per_join_sec"],
+            "join_bucketed": results["bucketed"]["per_join_sec"],
+        },
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_rows": n_rows,
+        "detail": results,
+    }
+
+
 def run_scaling(sf_dir: str, n_cores: int = 4, n4_cores: int = 16, replicate: int = 128,
                 rounds: int = 2) -> dict:
     """Same job on IDENTICAL input at N and 4N cores in fresh JVMs (sandbox
@@ -380,6 +494,7 @@ def main():
     ap.add_argument("--replicate", type=int, default=128)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--bucketed", action="store_true")
     ap.add_argument("--scale-cores", default="4,16",
                     help="--scaling: 'N,4N' core counts (e.g. 2,8)")
     args = ap.parse_args()
@@ -389,6 +504,8 @@ def main():
         result = run_scaling(args.sf_dir, n_cores=n, n4_cores=n4, replicate=args.replicate)
     elif args.skew:
         result = run_skew(args.sf_dir, args.cpus)
+    elif args.bucketed:
+        result = run_bucketed(args.sf_dir, args.cpus)
     elif args.pipeline_replicated:
         result = run_pipeline_replicated(args.sf_dir, args.cpus, args.replicate)
     elif args.pipeline_only:
