@@ -1122,9 +1122,11 @@ def q_eval_f1(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal: binary payload -> feature vector through the Arrow-
     batched decode stage. PNG rows (2/3 of the table) decode FOR REAL —
-    pure-Python zlib-inflate + scanline-unfilter codec, true pixel
-    statistics (operators/multimodal.decode_png); other mimes keep the
-    disclosed deterministic-fake stub. Features emitted as comma-joined
+    pure-Python zlib-inflate + scanline-unfilter codec — and GIF rows
+    (1/6) decode through the real pure-Python LZW codec
+    (operators/multimodal.decode_png / decode_gif), true pixel statistics
+    both; only the jpeg rows (1/6) keep the disclosed deterministic-fake
+    stub. Features emitted as comma-joined
     repr strings so the checker can hash them; oracle = the same strings
     precomputed from the same deterministic payloads."""
     import pandas as pd

@@ -6,6 +6,10 @@ Decode tiers:
   (zlib inflate + scanline unfilter, all five filter types, 8-bit
   gray/RGB/RGBA) feeds true pixel statistics into the feature vector —
   and a matching minimal encoder generates the deterministic fixtures.
+- GIF payloads decode FOR REAL too: full LZW (growing code widths up to
+  12 bits, CLEAR/EOI, the KwKwK case), global/local color tables,
+  interlaced row ordering, extension skipping; the fixture encoder emits
+  valid constant-width LZW (the 'uncompressed GIF' technique).
 - Other mime types remain STUBBED (no jpeg/audio/video codecs in this
   container): ``decode_image_batch`` raises NotImplementedError unless
   ``deterministic_fake=True``, in which case non-PNG payloads produce a
@@ -142,18 +146,241 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+# ---------------------------------------------------------------------------
+# GIF codec (second REAL decoder: LZW, palettes, interlace)
+# ---------------------------------------------------------------------------
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW decode (LSB-first bit packing, growing code widths
+    up to 12 bits, CLEAR/EOI codes, deferred-clear tolerant) -> list of
+    palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out = []
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode_uncompressed(indices, min_code_size: int) -> bytes:
+    """Valid LZW stream that never grows the code table (the classic
+    'uncompressed GIF' technique): every pixel is emitted as a literal at
+    constant width min_code_size+1, with a CLEAR code re-issued before
+    the decoder's table would force a width increase. Any conforming
+    decoder — including _gif_lzw_decode — reproduces the indices exactly."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # decoder's next_code starts at eoi+1 and grows by 1 per literal after
+    # the first; re-clearing when run hits this budget keeps next_code
+    # strictly below 2^width, so the decoder never widens its codes
+    budget = (1 << width) - eoi - 2
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = 0
+    for idx in indices:
+        if run >= budget:
+            emit(clear)
+            run = 0
+        emit(int(idx))
+        run += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder: one frame, global color table, no
+    extensions, non-interlaced; ``indices`` (h, w) uint8 into ``palette``
+    (n, 3) uint8. Fixture-generator counterpart of decode_gif (bit-exact
+    round trip is test-enforced)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    table_size = 1 << bits
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    mcs = max(2, bits)
+    lzw = _gif_lzw_encode_uncompressed(indices.ravel(), mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i: i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([mcs]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Pure-Python GIF decode -> uint8 RGB array (h, w, 3): real LZW
+    (growing code widths, clear/EOI), global and local color tables,
+    interlaced row ordering, extension-block skipping; first frame only
+    (animation is outside the fixture contract)."""
+    data = bytes(data)
+    if data[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_body(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF truncated or malformed: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, size * 3, pos).reshape(size, 3)
+        pos += size * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos: pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            table = np.frombuffer(data, np.uint8, size * 3, pos).reshape(size, 3)
+            pos += size * 3
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw.extend(data[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        rows = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [y for start, step in _GIF_INTERLACE_PASSES
+                     for y in range(start, ih, step)]
+            deinter = np.empty_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        if rows.max() >= len(table):
+            raise ValueError("GIF index outside color table")
+        return table[rows]  # first frame
+    raise ValueError("GIF contains no image block")
+
+
+def gif_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image features from a decoded GIF — same statistic layout as
+    png_features (dims + global/per-channel stats), so downstream feature
+    consumers are codec-agnostic."""
+    px = decode_gif(payload).astype(np.float64)
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    feats = [float(w), float(h), float(c),
+             float(flat.mean()), float(flat.std()),
+             float(flat.min()), float(flat.max())]
+    for ch in range(4):
+        feats.append(float(flat[:, ch].mean()) if ch < c else 0.0)
+    for ch in range(4):
+        feats.append(float(flat[:, ch].std()) if ch < c else 0.0)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return np.asarray(feats, dtype=np.float64)
+
+
 def media_rows(n: int = 64, seed: int = 42) -> list:
     """Deterministic media rows (media_id, mime, width, height, payload
     bytes) — pure function shared by make_media_table and the driver-side
     oracle precompute. PNG rows carry REAL encoded PNGs (deterministic
-    gradient+noise pixels, filter-0); jpeg rows keep opaque random bytes
-    for the disclosed fake-codec path."""
+    gradient+noise pixels, filter-0); GIF rows carry REAL encoded GIFs
+    (seeded palette + indexed pixels through the LZW encoder); jpeg rows
+    keep opaque random bytes for the disclosed fake-codec path."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w = int(rng.integers(16, 256))
         h = int(rng.integers(16, 256))
-        if i % 3:
+        if i % 3 == 0 and i % 6 != 0:
+            pw, ph = (w % 16) + 4, (h % 16) + 4
+            n_colors = int(rng.integers(2, 17))
+            palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_colors, size=(ph, pw), dtype=np.uint8)
+            payload = encode_gif(idx, palette)
+            rows.append((i, "image/gif", pw, ph, payload))
+        elif i % 3:
             pw, ph = (w % 16) + 4, (h % 16) + 4  # small real images
             grad = (
                 np.arange(ph)[:, None, None] * 7
@@ -210,11 +437,13 @@ def media_features(payload: bytes, deterministic_fake: bool = False) -> np.ndarr
     p = bytes(payload)
     if p.startswith(PNG_SIGNATURE):
         return png_features(p)
+    if p[:6] in GIF_SIGNATURES:
+        return gif_features(p)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PNG decodes in this container (pure-Python codec); other "
-            "mimes need PIL/opencv/ffmpeg — run with deterministic_fake=True "
-            "or swap in a codec"
+            "only PNG and GIF decode in this container (pure-Python "
+            "codecs); other mimes need PIL/opencv/ffmpeg — run with "
+            "deterministic_fake=True or swap in a codec"
         )
     return _fake_features(p)
 

@@ -111,14 +111,21 @@ def test_png_features_real_statistics():
 
 
 def test_media_rows_png_payloads_really_decode():
+    from pycorrector_spark.operators.multimodal import decode_gif
+
     rows = media_rows(16)
-    n_png = 0
+    n_png = n_gif = 0
     for _i, mime, w, h, payload in rows:
         if mime == "image/png":
             px = decode_png(payload)
             assert px.shape == (h, w, 3)
             n_png += 1
+        elif mime == "image/gif":
+            px = decode_gif(payload)
+            assert px.shape == (h, w, 3)
+            n_gif += 1
         else:
+            # jpeg stays the disclosed fake-codec boundary
             with pytest.raises(NotImplementedError):
                 media_features(payload, deterministic_fake=False)
-    assert n_png >= 8  # 2/3 of the table is real PNGs
+    assert n_png >= 8 and n_gif >= 2  # real codecs cover 5/6 of the table
