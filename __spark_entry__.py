@@ -1367,19 +1367,20 @@ def q_rel_bucketed_join(spark, sf_dir):
 
 
 def q_rel_events_daily(spark, sf_dir):
-    # date_trunc buckets in the SESSION timezone; the DuckDB oracle
-    # truncates the naive/UTC value — sessions built by session.get_spark
-    # pin UTC at construction (the real fix), and this guard covers
-    # harness-built sessions with a host-local timezone. A save/restore
-    # here would be unsound: the returned DataFrame is lazy, so the conf
-    # must still hold at execution time. Timestamp-sensitive callers on a
-    # non-UTC session should pin the timezone themselves (documented
-    # global effect; no-op on get_spark sessions).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # No session-timezone games (closes the round-3 advice item): the
+    # events parquet stores ts as TIMESTAMP_NTZ (isAdjustedToUTC=false),
+    # and NTZ -> DATE is a pure wall-time cast — the session timezone is
+    # never consulted, on ANY session (verified under Asia/Tokyo).
+    # date_trunc would NOT do: it implicitly casts NTZ -> LTZ through the
+    # session zone, which is why earlier rounds pinned
+    # spark.sql.session.timeZone here (a global side effect, now gone).
+    # The DuckDB oracle truncates the same naive value. The bucket is
+    # cast back to TIMESTAMP_NTZ (wall midnight) so both engines emit a
+    # timestamp — the checker normalizes datetime64, not date objects.
     e = _tbl(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").cast("timestamp_ntz").alias("day")
     return (
-        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        e.groupBy("event_type", day)
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
