@@ -1167,6 +1167,92 @@ def _reap_stream_dirs():
 atexit.register(_reap_stream_dirs)
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Hierarchical corpus statistics (the hypertable-rollup shape a
+    crawl-monitoring dashboard reads): docs/chars per (source, lang), per
+    source, and grand total in ONE pass via ROLLUP — Catalyst plans a
+    single Expand + one hash aggregate instead of three scans, and the
+    partial aggregation is map-side-combined per grouping set, so at
+    100 TB the shuffle carries (n_sources x n_langs) rows, not docs.
+    grouping_id disambiguates rollup NULLs from data NULLs; DuckDB's
+    GROUPING() uses the identical bitmask convention (verified)."""
+    d = _docs(spark, sf_dir)
+    return d.rollup("source", "lang").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+DECON_N = 8          # decontamination n-gram width (GPT-3 app. C uses 8-13)
+DECON_BENCH_MOD = 17  # doc_id % MOD == RES rows seed the synthetic eval set
+DECON_BENCH_RES = 3
+DECON_BENCH_WORDS = 12  # benchmark prompt = first 12 words of the seed doc
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): count + gate on
+    word 8-gram overlap between each training doc and an eval benchmark.
+    The benchmark is synthesized deterministically from the corpus itself
+    (every 17th doc's first 12 words — so seed docs are guaranteed
+    contaminated and everything else is checked against real shared
+    phrasing), and the oracle replays the identical lowercase-split +
+    15-hex-md5 arithmetic in SQL. Scale shape: bench n-grams broadcast;
+    the corpus-side explode + semi join never shuffles the corpus
+    (only matched rows reach the per-doc count)."""
+    from pycorrector_spark.operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[ \t\n\r]+"),
+        lambda x: x != F.lit(""),
+    )
+    bench = (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_RES)
+        .select(
+            F.array_join(F.slice(words, 1, DECON_BENCH_WORDS), " ").alias("text")
+        )
+    )
+    return decontaminate(d, bench, n=DECON_N)
+
+
+def _decontaminate_oracle_sql() -> str:
+    g = (
+        "('0x' || substr(md5(array_to_string(ws[i:i+{last}], ' ')), 1, 15))::BIGINT"
+    ).format(last=DECON_N - 1)
+    rng = f"range(1, len(ws) - {DECON_N - 2})"
+    return f"""
+        WITH dw AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                   '[ \t\n\r]+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        doc_grams AS (
+          SELECT DISTINCT doc_id, gh FROM (
+            SELECT doc_id, unnest([{g} for i in {rng}]) AS gh FROM dw)
+        ),
+        bw AS (
+          SELECT ws[1:{DECON_BENCH_WORDS}] AS ws FROM dw
+          WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_RES}
+        ),
+        bench_grams AS (
+          SELECT DISTINCT gh FROM (
+            SELECT unnest([{g} for i in {rng}]) AS gh FROM bw)
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS c
+          FROM doc_grams JOIN bench_grams USING (gh) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.c, 0) AS contaminated_ngrams,
+               coalesce(h.c, 0) = 0 AS keep
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def q_stream_dedup(spark, sf_dir):
     """Structured Streaming first-seen dedup (§2.9) driven END TO END as a
     bounded job: the sf docs subset is replayed as TWO deterministic
@@ -1828,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": q_rel_sessionize,
         # --- (b) new or changed this round -------------------------------
         "stream_dedup": q_stream_dedup,
+        "qf_decontaminate": q_decontaminate,
+        "qf_corpus_rollup": q_corpus_rollup,
         "qf_token_budget": q_token_budget,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -3122,6 +3210,14 @@ def oracle_sql() -> dict[str, str]:
         **_webrules_oracles(),
         **_htmlx_oracles(),
         **_curation_oracles(),
+        "qf_decontaminate": _decontaminate_oracle_sql(),
+        "qf_corpus_rollup": """
+            SELECT source, lang, GROUPING(source, lang) AS gid,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
+        """,
         "stream_dedup": f"""
             WITH sub AS (
               SELECT 'https://' || coalesce(source, 'x') || '/' || doc_id AS url,

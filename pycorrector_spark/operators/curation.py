@@ -48,6 +48,8 @@ __all__ = [
     "BloomFilter",
     "build_bloom",
     "incremental_dedup",
+    "word_ngram_hashes",
+    "decontaminate",
 ]
 
 
@@ -156,6 +158,91 @@ def select_token_budget(
         )
         .where(F.col("cum_tokens") <= budget)
         .drop("bucket_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def word_ngram_hashes(text: Column, n: int) -> Column:
+    """64-bit hashes of the lowercased word ``n``-grams of ``text``
+    (whitespace-split, empty tokens dropped) — 15 hex digits of md5, the
+    same engine-portable int64 trick as md5_bucket_expr, so a DuckDB
+    oracle reproduces the values exactly. Empty array when the text has
+    fewer than ``n`` words."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "[ \t\n\r]+"),
+        lambda x: x != F.lit(""),
+    )
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - n + 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(words, i, n), " ")), 1, 15
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return grams
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM step): for
+    each training document, count word ``n``-grams that also occur in the
+    evaluation benchmark, and keep only overlap-free docs. Returns
+    ``(id, contaminated_ngrams, keep)`` for every input doc.
+
+    Plan shape (100 TB corpus vs a small eval set):
+
+    1. Bench n-gram hashes are a DISTINCT dim — eval sets are ~10^5-10^6
+       n-grams — broadcast to every executor; the corpus side is a
+       zero-shuffle explode + broadcast-hash semi join, so the full-corpus
+       scan never shuffles.
+    2. Only MATCHED (doc, gram) rows reach the per-doc count aggregate —
+       the shuffle carries the contaminated fraction, not the corpus.
+    3. The final left join back to ids is against that small hit relation
+       (AQE broadcasts it); clean docs pass through with a NULL->0 count.
+
+    Both sides hash through the engine-portable 15-hex-md5 int64, so the
+    DuckDB oracle replays the identical arithmetic."""
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gh"),
+    ).distinct()  # a doc repeating a contaminated n-gram counts it once
+    bench_grams = (
+        bench.select(
+            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("gh")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gh")
+        .groupBy("__id")
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(hits, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("contaminated_ngrams", F.lit(0)).cast("long").alias(
+                "contaminated_ngrams"
+            ),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) == 0).alias("keep"),
+        )
     )
 
 

@@ -235,3 +235,45 @@ def test_dsir_weight_prefers_target_like_docs(spark):
     ws = {r["doc_id"]: r["w"] for r in w}
     assert all(ws[i] > 0 for i in range(10))          # target-like: positive
     assert all(ws[100 + i] < 0 for i in range(10))    # other-like: negative
+
+
+def test_decontaminate_counts_and_gate(spark):
+    from pycorrector_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog at noon"),
+            (2, "completely different words with no overlap whatsoever here today"),
+            (3, "prefix then the quick brown fox jumps over the lazy dog"),
+            (4, None),
+            (5, "short text"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text: string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert len(got) == 5
+    # doc 1 shares both 8-grams of the 9-word bench prompt; doc 3 shares
+    # them at an offset (position-independent by construction)
+    assert got[1]["contaminated_ngrams"] == 2 and not got[1]["keep"]
+    assert got[3]["contaminated_ngrams"] == 2 and not got[3]["keep"]
+    assert got[2]["contaminated_ngrams"] == 0 and got[2]["keep"]
+    assert got[4]["contaminated_ngrams"] == 0 and got[4]["keep"]  # NULL text
+    assert got[5]["contaminated_ngrams"] == 0 and got[5]["keep"]  # < n words
+
+
+def test_decontaminate_case_insensitive_and_dedup(spark):
+    from pycorrector_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "A B C D E F G H " * 3)],  # repeated contaminated 8-gram
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text: string")
+    row = decontaminate(docs, bench, n=8).collect()[0]
+    # lowercased match; each DISTINCT n-gram counted once per doc: the
+    # 24-word doc has 17 n-gram positions but only 8 distinct 8-grams
+    assert not row["keep"]
+    assert 0 < row["contaminated_ngrams"] <= 8
