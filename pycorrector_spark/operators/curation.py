@@ -218,10 +218,16 @@ def decontaminate(
 
     Both sides hash through the engine-portable 15-hex-md5 int64, so the
     DuckDB oracle replays the identical arithmetic."""
+    # NO distinct on the corpus side — that would shuffle every exploded
+    # n-gram of the whole corpus; instead dedup AFTER the broadcast semi
+    # join, where only matched (contaminated) rows remain, via a
+    # count_distinct whose two-phase aggregate touches the hit relation
+    # only (plan verified in BENCH/PLANS.md: the sole corpus-side nodes
+    # are scan -> generate -> broadcast join)
     doc_grams = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gh"),
-    ).distinct()  # a doc repeating a contaminated n-gram counts it once
+    )
     bench_grams = (
         bench.select(
             F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("gh")
@@ -231,7 +237,8 @@ def decontaminate(
     hits = (
         doc_grams.join(F.broadcast(bench_grams), on="gh")
         .groupBy("__id")
-        .agg(F.count("*").alias("contaminated_ngrams"))
+        # a doc repeating a contaminated n-gram counts it once
+        .agg(F.count_distinct("gh").alias("contaminated_ngrams"))
     )
     return (
         docs.select(F.col(id_col).alias("__id"))
