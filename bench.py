@@ -80,6 +80,8 @@ def bench_queries():
         "nb_langid": q["nb_langid"],
         "dsir_select": q["dsir_select"],
         "qf_fix_encoding": q["qf_fix_encoding"],
+        "qf_decontaminate": q["qf_decontaminate"],
+        "qf_corpus_rollup": q["qf_corpus_rollup"],
         "rel_bucketed_join": q["rel_bucketed_join"],
         "dedup_exact": q["dedup_exact"],
         "dedup_substr": q["dedup_substr"],
