@@ -277,3 +277,26 @@ def test_decontaminate_case_insensitive_and_dedup(spark):
     # 24-word doc has 17 n-gram positions but only 8 distinct 8-grams
     assert not row["keep"]
     assert 0 < row["contaminated_ngrams"] <= 8
+
+
+def test_select_token_budget_exact_boundary_zero_token_rows(spark):
+    """Round-3 advice regression: a bucket whose running offset equals
+    the budget EXACTLY must not be pruned — zero-token rows in it have
+    inclusive cum_tokens == budget and the 'inclusive running total <=
+    budget' contract keeps them."""
+    from pycorrector_spark.operators.curation import select_token_budget
+
+    rows = [
+        (1, 9, 6),   # score 9: 6 tokens -> cum 6
+        (2, 8, 4),   # score 8: 4 tokens -> cum 10 == budget
+        (3, 7, 0),   # score 7, ZERO tokens: bucket offset == budget, cum 10
+        (4, 7, 5),   # score 7, 5 tokens: cum 15 > budget -> dropped
+        (5, 6, 0),   # score 6: offset 15 (whole score-7 bucket counts) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, score: int, toks: int")
+    got = select_token_budget(df, 10, "score", "toks", "doc_id").toPandas()
+    # pre-fix behavior pruned the score-7 bucket entirely (run >= budget)
+    # and wrongly dropped doc 3; the global-sort oracle keeps it at cum 10
+    assert sorted(got["doc_id"]) == [1, 2, 3]
+    by_id = dict(zip(got["doc_id"], got["cum_tokens"]))
+    assert by_id[3] == 10
