@@ -166,18 +166,27 @@ def select_token_budget(
 # ---------------------------------------------------------------------------
 
 
-def word_ngram_hashes(text: Column, n: int) -> Column:
-    """64-bit hashes of the lowercased word ``n``-grams of ``text``
-    (whitespace-split, empty tokens dropped) — 15 hex digits of md5, the
-    same engine-portable int64 trick as md5_bucket_expr, so a DuckDB
-    oracle reproduces the values exactly. Empty array when the text has
-    fewer than ``n`` words."""
-    words = F.filter(
+def lower_words(text: Column) -> Column:
+    """Lowercased whitespace-split word array, empty tokens dropped.
+    LAMBDA-CONTAINING: codegen subexpression elimination skips it, so
+    STAGE IT THROUGH A PROJECTION ALIAS before referencing it inside
+    another higher-order function (the repo-wide HOF-CSE rule,
+    BENCH/NOTES.md) — an unstaged reference inside transform() re-runs
+    the split per array element (measured 100x on decontaminate)."""
+    return F.filter(
         F.split(F.lower(F.coalesce(text, F.lit(""))), "[ \t\n\r]+"),
         lambda x: x != F.lit(""),
     )
+
+
+def ngram_hashes_from_words(words: Column, n: int) -> Column:
+    """64-bit hashes of the word ``n``-grams of a STAGED word-array
+    column — 15 hex digits of md5, the same engine-portable int64 trick
+    as md5_bucket_expr, so a DuckDB oracle reproduces the values exactly.
+    Empty array when there are fewer than ``n`` words. Pass a plain
+    column reference (see lower_words), never the raw lambda expression."""
     nw = F.size(words)
-    grams = F.when(
+    return F.when(
         nw >= n,
         F.transform(
             F.sequence(F.lit(1), nw - n + 1),
@@ -189,7 +198,14 @@ def word_ngram_hashes(text: Column, n: int) -> Column:
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return grams
+
+
+def word_ngram_hashes(text: Column, n: int) -> Column:
+    """Composition of lower_words + ngram_hashes_from_words for one-off
+    use on a raw text column. NOTE: inside a query that evaluates it per
+    row, prefer the staged two-step (decontaminate does) — this direct
+    composition re-splits per n-gram position under codegen."""
+    return ngram_hashes_from_words(lower_words(text), n)
 
 
 def decontaminate(
@@ -224,14 +240,16 @@ def decontaminate(
     # count_distinct whose two-phase aggregate touches the hit relation
     # only (plan verified in BENCH/PLANS.md: the sole corpus-side nodes
     # are scan -> generate -> broadcast join)
-    doc_grams = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gh"),
+    doc_grams = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            lower_words(F.col(text_col)).alias("__ws"),  # staged: HOF-CSE rule
+        )
+        .select("__id", F.explode(ngram_hashes_from_words(F.col("__ws"), n)).alias("gh"))
     )
     bench_grams = (
-        bench.select(
-            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("gh")
-        )
+        bench.select(lower_words(F.col(bench_text_col)).alias("__ws"))
+        .select(F.explode(ngram_hashes_from_words(F.col("__ws"), n)).alias("gh"))
         .distinct()
     )
     hits = (
