@@ -1167,6 +1167,70 @@ def _reap_stream_dirs():
 atexit.register(_reap_stream_dirs)
 
 
+def q_zh_segment_pos(spark, sf_dir):
+    """POS-tagged segmentation (T4 pos mode, reference tokenizer.py
+    segment(pos=True) -> jieba.posseg): cut(HMM=True) tokens + coarse
+    derived tags (nr/ns from the real 58k name lists, m/eng/x shapes, n
+    default — textops.pos_of_token documents the tag-dim divergence)
+    over the sf-scaled CJK pool; oracle = per-pool-index expected rows
+    from the identical serial function."""
+    import pandas as pd
+    from pycorrector_spark.fixtures import ZH_POOL
+
+    df = _pool_docs(spark, sf_dir, ZH_POOL)
+    bc = _artifacts_bc(spark, full=True)
+    from pycorrector_spark.dictio import full_dims
+
+    dims = full_dims()
+    bc_names = spark.sparkContext.broadcast(
+        (set(dims["person_names"]), set(dims["place_names"]))
+    )
+
+    def fn(it):
+        from pycorrector_spark.fixtures import fmt_detections
+        from pycorrector_spark.textops import hmm_tables_from_freq, segment_pos
+
+        wf = bc.value.word_freq
+        total = sum(wf.values())
+        tables = hmm_tables_from_freq(wf)
+        person, place = bc_names.value
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tagged": [
+                        fmt_detections(
+                            segment_pos(t, wf, total, tables=tables,
+                                        person_names=person, place_names=place)
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fn, "doc_id long, tagged string")
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_segment_pos_oracle_sql() -> str:
+    from pycorrector_spark.dictio import full_dims
+    from pycorrector_spark.fixtures import ZH_POOL, fmt_detections
+    from pycorrector_spark.textops import hmm_tables_from_freq, segment_pos
+
+    wf = dict(_full_artifacts_cached().word_freq)
+    total = sum(wf.values())
+    tables = hmm_tables_from_freq(wf)
+    dims = full_dims()
+    person, place = set(dims["person_names"]), set(dims["place_names"])
+    rows = [
+        (i, (fmt_detections(
+            segment_pos(s, wf, total, tables=tables,
+                        person_names=person, place_names=place)),))
+        for i, s in enumerate(ZH_POOL)
+    ]
+    return _pool_oracle_sql(len(ZH_POOL), ["tagged"], rows)
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus statistics (the hypertable-rollup shape a
     crawl-monitoring dashboard reads): docs/chars per (source, lang), per
@@ -1916,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "qf_decontaminate": q_decontaminate,
         "qf_corpus_rollup": q_corpus_rollup,
+        "zh_segment_pos": q_zh_segment_pos,
         "qf_token_budget": q_token_budget,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -3211,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         **_htmlx_oracles(),
         **_curation_oracles(),
         "qf_decontaminate": _decontaminate_oracle_sql(),
+        "zh_segment_pos": _zh_segment_pos_oracle_sql(),
         "qf_corpus_rollup": """
             SELECT source, lang, GROUPING(source, lang) AS gid,
                    count(*) AS n_docs,

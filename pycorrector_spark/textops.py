@@ -445,6 +445,59 @@ def search_mode_tokens(sentence: str, word_freq: dict, total: int = None):
     return out
 
 
+# ---------------------------------------------------------------------------
+# POS-tagged segmentation (T4 pos mode — reference tokenizer.py:100-127
+# `segment(sentence, cut_type, pos=True)` delegates to jieba.posseg)
+# ---------------------------------------------------------------------------
+
+_POS_NUM_RE = re.compile(r"^[0-9]+(\.[0-9]+)?%?$")
+_POS_ENG_RE = re.compile(r"^[A-Za-z]+$")
+_CJK_NUMERALS = set("一二三四五六七八九十百千万亿两零〇")
+
+
+def pos_of_token(token: str, word_freq: dict,
+                 person_names=None, place_names=None) -> str:
+    """Coarse jieba-style POS flag for one token. DERIVED tag dim
+    (documented divergence, same class as the HMM tables): jieba's
+    dict.txt carries a trained per-word tag which is not shipped here, so
+    tags come from the dims the repo DOES have — person/place name lists
+    -> nr/ns, numeric shapes -> m, latin -> eng, symbol-only -> x,
+    everything else (dict words and CJK OOV) -> n, jieba's majority tag.
+    Deterministic, which is what the oracle checks."""
+    if not token:
+        return "x"
+    if person_names and token in person_names:
+        return "nr"
+    if place_names and token in place_names:
+        return "ns"
+    if _POS_NUM_RE.match(token) or all(c in _CJK_NUMERALS for c in token):
+        return "m"
+    if _POS_ENG_RE.match(token):
+        return "eng"
+    if not any(is_cjk_char(c) or c.isalnum() for c in token):
+        return "x"
+    return "n"
+
+
+def segment_pos(sentence: str, word_freq: dict, total: int = None,
+                tables=None, person_names=None, place_names=None,
+                cut_type: str = "word"):
+    """[(token, begin, end, flag)] — the reference's
+    ``segment(sentence, cut_type, pos=True)`` dataflow
+    (tokenizer.py:100-127): word mode runs the jieba-equivalent
+    cut(HMM=True) route (dag_hmm_tokens) then tags each token; char mode
+    tags each character (the reference calls posseg.lcut per char —
+    equivalent to tagging the char itself)."""
+    if cut_type == "char":
+        toks = [(ch, i, i + 1) for i, ch in enumerate(sentence)]
+    else:
+        toks = dag_hmm_tokens(sentence, word_freq, total, tables=tables)
+    return [
+        (t, b, e, pos_of_token(t, word_freq, person_names, place_names))
+        for t, b, e in toks
+    ]
+
+
 def char_ngrams(s: str, n: int):
     """All contiguous char n-grams of s (len(s)-n+1 of them)."""
     return [s[i: i + n] for i in range(len(s) - n + 1)]

@@ -321,3 +321,42 @@ def test_overlapping_confusion_patterns():
     res = zh.correct("曰镜")
     assert res["target"] == "眼镜"                      # spliced exactly once
     assert [w for w, _, _ in res["errors"]] == ["曰镜"]  # contained 镜 suppressed
+
+
+def test_pos_of_token_flags():
+    from pycorrector_spark.textops import pos_of_token
+
+    wf = {"工作": 100}
+    person, place = {"张爱文"}, {"北京"}
+    assert pos_of_token("张爱文", wf, person, place) == "nr"
+    assert pos_of_token("北京", wf, person, place) == "ns"
+    assert pos_of_token("123", wf) == "m"
+    assert pos_of_token("3.5%", wf) == "m"
+    assert pos_of_token("三十五", wf) == "m"
+    assert pos_of_token("hello", wf) == "eng"
+    assert pos_of_token("，", wf) == "x"
+    assert pos_of_token("！？", wf) == "x"
+    assert pos_of_token("工作", wf) == "n"
+    assert pos_of_token("犇", wf) == "n"  # CJK OOV -> majority tag
+    assert pos_of_token("", wf) == "x"
+
+
+def test_segment_pos_word_and_char_modes():
+    from pycorrector_spark.textops import segment_pos
+
+    wf = {"少先队员": 50, "应该": 40, "老人": 30, "让座": 20, "为": 10}
+    s = "少先队员应该为老人让座"
+    out = segment_pos(s, wf)
+    assert "".join(t for t, _b, _e, _f in out) == s
+    flags = {t: f for t, _b, _e, f in out}
+    assert flags["少先队员"] == "n" and flags["让座"] == "n"
+    # spans are contiguous and tags align positionally
+    pos = 0
+    for t, b, e, _f in out:
+        assert (b, e) == (pos, pos + len(t))
+        pos = e
+    # char mode: one (char, tag) per character, reference
+    # tokenizer.py:115-121 behavior
+    chars = segment_pos("为12a，", wf, cut_type="char")
+    assert [t for t, *_ in chars] == ["为", "1", "2", "a", "，"]
+    assert [f for *_, f in chars] == ["n", "m", "m", "eng", "x"]
