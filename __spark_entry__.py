@@ -1231,6 +1231,74 @@ def _zh_segment_pos_oracle_sql() -> str:
     return _pool_oracle_sql(len(ZH_POOL), ["tagged"], rows)
 
 
+_RESUME_COLS = ["lang_id", "keep", "drop_reason", "scrubbed_text"]
+
+
+def q_resume_pipeline(spark, sf_dir):
+    """Checkpoint-resume driver-gated end to end (the north rule's
+    'resumable from checkpoint' clause): run_with_resume is invoked TWICE
+    against one output dir — first with only the even-doc_id half of the
+    pool corpus, then with the FULL corpus. The second run's NULL-safe
+    anti-join against docs_out must process exactly the odd remainder, so
+    the final table holds every document ONCE with its scored columns —
+    which is precisely what the oracle (per-pool-index golden rows over
+    ALL doc_ids) asserts: a duplicate or a gap fails the row-count/hash
+    compare."""
+    import tempfile
+
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.pipeline import run_with_resume
+
+    _reap_stream_dirs()
+    out = tempfile.mkdtemp(prefix="pycorrector_spark_resume_")
+    _STREAM_DIRS.add(out)
+
+    docs = _pool_docs(spark, sf_dir, PPL_POOL).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    run_with_resume(spark, docs.filter(F.col("doc_id") % 2 == 0), out)
+    run_with_resume(spark, docs, out)
+    got = spark.read.parquet(f"{out}/docs_out")
+    return got.select("doc_id", *_RESUME_COLS)
+
+
+@functools.lru_cache(maxsize=None)
+def _resume_pipeline_oracle_sql() -> str:
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.refimpl.golden import golden_row
+
+    zh, en = _full_workers_cached()
+    rows = []
+    for i, s in enumerate(PPL_POOL):
+        g = golden_row(s, zh, en)
+        rows.append((i, tuple(g[c] for c in _RESUME_COLS)))
+    return _pool_oracle_sql(len(PPL_POOL), _RESUME_COLS, rows)
+
+
+def q_stream_pipeline(spark, sf_dir):
+    """The COMPLETE scoring pipeline under Structured Streaming,
+    driver-gated (§2.9): the pool corpus is written as parquet, replayed
+    through stream_quality_pipeline (the same one-Arrow-pass stage as the
+    batch path, behind readStream) with an availableNow trigger into the
+    per-epoch idempotent sink, and the resulting docs_out must match the
+    per-pool-index golden rows exactly — streaming and batch label
+    identically, row for row."""
+    import tempfile
+
+    from pycorrector_spark.fixtures import PPL_POOL
+    from pycorrector_spark.streaming import run_streaming_pipeline
+
+    _reap_stream_dirs()
+    root = tempfile.mkdtemp(prefix="pycorrector_spark_streampipe_")
+    _STREAM_DIRS.add(root)
+    src, out = f"{root}/src", f"{root}/out"
+
+    _pool_docs(spark, sf_dir, PPL_POOL).coalesce(2).write.parquet(src)
+    run_streaming_pipeline(spark, src, out)
+    got = spark.read.parquet(f"{out}/docs_out")
+    return got.select("doc_id", *_RESUME_COLS)
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus statistics (the hypertable-rollup shape a
     crawl-monitoring dashboard reads): docs/chars per (source, lang), per
@@ -1981,6 +2049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_decontaminate": q_decontaminate,
         "qf_corpus_rollup": q_corpus_rollup,
         "zh_segment_pos": q_zh_segment_pos,
+        "resume_pipeline": q_resume_pipeline,
+        "stream_pipeline": q_stream_pipeline,
         "qf_token_budget": q_token_budget,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -3277,6 +3347,8 @@ def oracle_sql() -> dict[str, str]:
         **_curation_oracles(),
         "qf_decontaminate": _decontaminate_oracle_sql(),
         "zh_segment_pos": _zh_segment_pos_oracle_sql(),
+        "resume_pipeline": _resume_pipeline_oracle_sql(),
+        "stream_pipeline": _resume_pipeline_oracle_sql(),
         "qf_corpus_rollup": """
             SELECT source, lang, GROUPING(source, lang) AS gid,
                    count(*) AS n_docs,
