@@ -520,3 +520,23 @@ def test_substring_dedup_intra_doc_overlap(spark):
     row = substring_dedup(df).collect()[0]
     assert row["clean_text"] == "a b"
     assert row["n_dropped_tokens"] == 16
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Round-3 advice: exhausting max_iter without the (count, checksum)
+    fixpoint must raise, not silently return a non-star edge set (the
+    leaves/roots extraction below the loop is only valid at the
+    fixpoint)."""
+    import pytest as _pytest
+
+    from pycorrector_spark.operators.dedup import connected_components
+
+    # a 6-node path needs ~2 alternating rounds; max_iter=1 cannot even
+    # detect the fixpoint (detection needs one extra no-change round)
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+    # and with the default budget the same graph converges fine
+    got = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
