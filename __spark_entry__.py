@@ -1167,6 +1167,44 @@ def _reap_stream_dirs():
 atexit.register(_reap_stream_dirs)
 
 
+DOMAIN_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_domain_mix(spark, sf_dir):
+    """Target-proportion domain mixing (curation.domain_mix — the
+    DoReMi/Pile-style retrain-mix step): 4 of the 20 sources get target
+    weights, the binding domain keeps everything, the rest downsample
+    deterministically via the md5 bucket, unweighted sources drop. One
+    tiny domain histogram + a narrow filter; the oracle replays the
+    cutoff arithmetic (min over n/w, floor quantization) in SQL."""
+    from pycorrector_spark.operators.curation import domain_mix
+
+    return domain_mix(
+        _docs(spark, sf_dir), DOMAIN_MIX_WEIGHTS, domain_col="source"
+    ).select("doc_id", "source", "sample_bucket")
+
+
+def _domain_mix_oracle_sql() -> str:
+    from pycorrector_spark.operators.curation import _BUCKET_DENOM, md5_bucket_sql
+
+    values = ", ".join(
+        f"({_sq(d)}, {_dlit(w)})" for d, w in sorted(DOMAIN_MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH w(domain, wt) AS (VALUES {values}),
+        cnt AS (SELECT source AS d, count(*) AS n FROM documents GROUP BY source),
+        tt AS (SELECT min(n / wt) AS t FROM cnt JOIN w ON d = domain),
+        cuts AS (
+          SELECT d, CAST(floor(least(1.0, (t * wt) / n) * {_BUCKET_DENOM}) AS BIGINT) AS cut
+          FROM cnt JOIN w ON d = domain CROSS JOIN tt
+        )
+        SELECT doc_id, source, bucket AS sample_bucket FROM (
+          SELECT doc_id, source, {md5_bucket_sql('text')} AS bucket
+          FROM documents) x
+        JOIN cuts ON x.source = cuts.d AND x.bucket < cuts.cut
+    """
+
+
 def q_zh_segment_pos(spark, sf_dir):
     """POS-tagged segmentation (T4 pos mode, reference tokenizer.py
     segment(pos=True) -> jieba.posseg): cut(HMM=True) tokens + coarse
@@ -2051,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zh_segment_pos": q_zh_segment_pos,
         "resume_pipeline": q_resume_pipeline,
         "stream_pipeline": q_stream_pipeline,
+        "qf_domain_mix": q_domain_mix,
         "qf_token_budget": q_token_budget,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -3349,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "zh_segment_pos": _zh_segment_pos_oracle_sql(),
         "resume_pipeline": _resume_pipeline_oracle_sql(),
         "stream_pipeline": _resume_pipeline_oracle_sql(),
+        "qf_domain_mix": _domain_mix_oracle_sql(),
         "qf_corpus_rollup": """
             SELECT source, lang, GROUPING(source, lang) AS gid,
                    count(*) AS n_docs,

@@ -50,6 +50,8 @@ __all__ = [
     "incremental_dedup",
     "word_ngram_hashes",
     "decontaminate",
+    "domain_mix_cuts",
+    "domain_mix",
 ]
 
 
@@ -315,6 +317,75 @@ def hash_sample(
     cut = int(round(rate * denom))
     return df.withColumn("sample_bucket", md5_bucket_expr(key, denom)).where(
         F.col("sample_bucket") < cut
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing (target-proportion downsampling)
+# ---------------------------------------------------------------------------
+
+
+def domain_mix_cuts(counts: dict, weights: dict, denom: int = _BUCKET_DENOM) -> dict:
+    """Per-domain bucket cutoffs realizing target mix ``weights`` from
+    available ``counts`` — the data-mixing step (DoReMi / The Pile style:
+    retrain mixes are specified as per-domain PROPORTIONS, and the corpus
+    must be downsampled so realized proportions match).
+
+    The largest achievable total is T = min(n_d / w_d): the binding
+    domain keeps everything, every other domain downsamples to
+    ``T * w_d`` docs. Returns {domain: bucket_cut} for hash_sample's
+    ``sample_bucket < cut`` predicate; domains absent from ``weights``
+    get cut 0 (dropped). Deterministic given (counts, weights)."""
+    active = {d: w for d, w in weights.items() if w > 0}
+    if not active:
+        return {d: 0 for d in counts}
+    total_w = sum(active.values())
+    norm = {d: w / total_w for d, w in active.items()}
+    feasible = [counts.get(d, 0) / w for d, w in norm.items()]
+    t = min(feasible)
+    cuts = {}
+    for d in counts:
+        if d not in norm or counts[d] == 0:
+            cuts[d] = 0
+        else:
+            rate = min(1.0, (t * norm[d]) / counts[d])
+            # floor, not round: Python round() is banker's, SQL round()
+            # is half-away — floor is the one cross-engine-identical
+            # quantization (the oracle replays this arithmetic in SQL)
+            cuts[d] = int(rate * denom)
+    return cuts
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict,
+    domain_col: str = "source",
+    key: Column = None,
+    denom: int = _BUCKET_DENOM,
+) -> DataFrame:
+    """Downsample per domain so realized domain proportions match
+    ``weights`` (up to bucket quantization), deterministically.
+
+    Plan shape at 100 TB: ONE tiny groupBy histogram (rows = distinct
+    domains) collected to the driver -> per-domain cutoffs broadcast as a
+    literal CASE -> a narrow filter on the md5 bucket. No shuffle of the
+    corpus, no RNG (retries/stage re-runs keep the identical sample —
+    the same property hash_sample has)."""
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cuts = domain_mix_cuts(counts, weights, denom)
+    if key is None:
+        key = F.col("text")
+    bucket = md5_bucket_expr(key, denom)
+    cut_expr = F.lit(0)
+    for d, c in sorted(cuts.items(), key=lambda kv: str(kv[0])):
+        cut_expr = F.when(F.col(domain_col).eqNullSafe(F.lit(d)), F.lit(c)).otherwise(cut_expr)
+    return df.withColumn("sample_bucket", bucket).where(
+        F.col("sample_bucket") < cut_expr
     )
 
 

@@ -300,3 +300,41 @@ def test_select_token_budget_exact_boundary_zero_token_rows(spark):
     assert sorted(got["doc_id"]) == [1, 2, 3]
     by_id = dict(zip(got["doc_id"], got["cum_tokens"]))
     assert by_id[3] == 10
+
+
+def test_domain_mix_cuts_arithmetic():
+    from pycorrector_spark.operators.curation import domain_mix_cuts
+
+    counts = {"a": 100, "b": 100, "c": 100, "z": 50}
+    # target 50/30/20 over a,b,c: binding domain a keeps all (T=200),
+    # b keeps 60%, c keeps 40%; z unweighted -> dropped
+    cuts = domain_mix_cuts(counts, {"a": 0.5, "b": 0.3, "c": 0.2})
+    assert cuts == {"a": 10000, "b": 6000, "c": 4000, "z": 0}
+    # weights auto-normalize; zero/negative weights drop the domain
+    assert domain_mix_cuts(counts, {"a": 5, "b": 3, "c": 2}) == cuts
+    assert domain_mix_cuts(counts, {})["a"] == 0
+    # an empty domain never divides by zero
+    cuts2 = domain_mix_cuts({"a": 0, "b": 10}, {"a": 0.5, "b": 0.5})
+    assert cuts2["a"] == 0
+
+
+def test_domain_mix_realizes_proportions(spark):
+    from pycorrector_spark.operators.curation import domain_mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"doc body {i}", ["web", "news", "wiki"][i % 3])
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = domain_mix(df, {"web": 0.6, "news": 0.3, "wiki": 0.1})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # web binds (1000 docs / 0.6 -> T=1666): news ~= T*0.3 = 500,
+    # wiki ~= 166; md5-bucket quantization is binomial around the target
+    assert got["web"] == 1000
+    assert abs(got["news"] - 500) < 80
+    assert abs(got["wiki"] - 166) < 50
+    # deterministic across invocations
+    again = {r["source"]: r["n"] for r in
+             domain_mix(df, {"web": 0.6, "news": 0.3, "wiki": 0.1})
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == got
