@@ -12,6 +12,9 @@ Modes:
     python bench.py --pipeline-only      # just the quality-filter pipeline
     python bench.py --scaling            # N vs 4N cores (default 4 vs 16)
                                          # run; writes BENCH/BASELINE.md
+    python bench.py --skew               # unsalted vs salted re-crawl storm
+    python bench.py --bucketed           # bucketed vs plain join layout
+    python bench.py --opscale            # 2x vs 8x input linearity audit
 
 Timing methodology: each query materializes fully via a noop-format write
 (forces every column, no sink cost). A warm-up query initializes the JVM
@@ -82,6 +85,7 @@ def bench_queries():
         "qf_fix_encoding": q["qf_fix_encoding"],
         "qf_decontaminate": q["qf_decontaminate"],
         "qf_corpus_rollup": q["qf_corpus_rollup"],
+        "qf_domain_mix": q["qf_domain_mix"],
         "rel_bucketed_join": q["rel_bucketed_join"],
         "dedup_exact": q["dedup_exact"],
         "dedup_substr": q["dedup_substr"],
