@@ -331,24 +331,27 @@ def domain_mix_cuts(counts: dict, weights: dict, denom: int = _BUCKET_DENOM) -> 
     retrain mixes are specified as per-domain PROPORTIONS, and the corpus
     must be downsampled so realized proportions match).
 
-    The largest achievable total is T = min(n_d / w_d): the binding
-    domain keeps everything, every other domain downsamples to
-    ``T * w_d`` docs. Returns {domain: bucket_cut} for hash_sample's
-    ``sample_bucket < cut`` predicate; domains absent from ``weights``
-    get cut 0 (dropped). Deterministic given (counts, weights)."""
-    active = {d: w for d, w in weights.items() if w > 0}
+    The largest achievable total is T = min(n_d / w_d) over domains that
+    are BOTH weighted and present: the binding domain keeps everything,
+    every other domain downsamples to ``T * w_d`` docs. Weighted domains
+    with no available docs are ignored (you cannot sample what does not
+    exist; a strict reading would set T = 0 and silently empty the whole
+    corpus). Weight normalization cancels algebraically (T scales as 1/k
+    when weights scale k, and rate = T*w/n), so raw weights are used —
+    which is also exactly what the SQL oracle's inner join computes.
+    Returns {domain: bucket_cut} for hash_sample's ``sample_bucket <
+    cut`` predicate; domains absent from ``weights`` get cut 0 (dropped).
+    Deterministic given (counts, weights)."""
+    active = {d: w for d, w in weights.items() if w > 0 and counts.get(d, 0) > 0}
     if not active:
         return {d: 0 for d in counts}
-    total_w = sum(active.values())
-    norm = {d: w / total_w for d, w in active.items()}
-    feasible = [counts.get(d, 0) / w for d, w in norm.items()]
-    t = min(feasible)
+    t = min(counts[d] / w for d, w in active.items())
     cuts = {}
     for d in counts:
-        if d not in norm or counts[d] == 0:
+        if d not in active:
             cuts[d] = 0
         else:
-            rate = min(1.0, (t * norm[d]) / counts[d])
+            rate = min(1.0, (t * active[d]) / counts[d])
             # floor, not round: Python round() is banker's, SQL round()
             # is half-away — floor is the one cross-engine-identical
             # quantization (the oracle replays this arithmetic in SQL)

@@ -229,3 +229,79 @@ def test_md5_64_matches_duckdb_expression(word):
         "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", params=[word]
     ).fetchone()[0]
     assert got == md5_64(word)
+
+
+# ---------------------------------------------------------------------------
+# round-4 primitives
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=2, max_value=8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(st.integers(0, (1 << mcs) - 1), min_size=0, max_size=600),
+        )
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(args):
+    from pycorrector_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode_uncompressed,
+    )
+
+    mcs, idx = args
+    assert _gif_lzw_decode(_gif_lzw_encode_uncompressed(idx, mcs), mcs) == idx
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from("abcdefgh"), st.integers(0, 10_000), min_size=1, max_size=8
+    ),
+    st.dictionaries(
+        st.sampled_from("abcdefgh"),
+        st.floats(0.01, 10, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_domain_mix_cuts_properties(counts, weights):
+    from pycorrector_spark.operators.curation import _BUCKET_DENOM, domain_mix_cuts
+
+    cuts = domain_mix_cuts(counts, weights)
+    assert set(cuts) == set(counts)
+    for d, cut in cuts.items():
+        assert 0 <= cut <= _BUCKET_DENOM
+        # unweighted or empty domains are dropped entirely
+        if d not in weights or counts[d] == 0:
+            assert cut == 0
+    # the binding weighted-and-present domain keeps everything (weighted
+    # domains with no docs are ignored, not allowed to zero the corpus)
+    active = [d for d in cuts if d in weights and weights[d] > 0 and counts[d] > 0]
+    if active:
+        assert max(cuts[d] for d in active) >= _BUCKET_DENOM - 1
+        # realized totals track target proportions: expected kept docs
+        # n_d * cut_d/denom ~ T * w_d (within bucket quantization)
+        t_est = [counts[d] * cuts[d] / _BUCKET_DENOM / weights[d] for d in active]
+        quant_slack = max(1.0 / weights[d] for d in active)  # 1 bucket per domain
+        assert max(t_est) - min(t_est) <= max(2.0, 0.01 * max(t_est)) + quant_slack
+
+
+@given(st.text(alphabet=st.sampled_from(list("abc ABC\t\n.")), max_size=120),
+       st.integers(2, 5))
+@settings(max_examples=80, deadline=None)
+def test_word_ngram_hash_count(text, n):
+    """Serial replica of curation.word_ngram_hashes' COUNT contract:
+    max(0, n_words - n + 1) hashes, words = lowercase whitespace split."""
+    import hashlib
+
+    words = [w for w in text.lower().split() if w]
+    expect = max(0, len(words) - n + 1)
+    grams = [
+        int(hashlib.md5(" ".join(words[i:i + n]).encode()).hexdigest()[:15], 16)
+        for i in range(expect)
+    ]
+    assert len(grams) == expect
+    assert len(set(grams)) <= max(1, expect)
