@@ -2101,9 +2101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_scrub": q_scrub,
         "qf_sent_split": q_sent_split,
         "qf_uniform": q_uniform,
-        "qf_split_len": q_sent_split_len,
-        "qf_b2q": q_b2q,
-        "ngram_counts": q_ngram_counts,
+        "qf_line_dedup": q_line_dedup,
+        "nb_langid": q_nb_langid,
+        "dsir_select": q_dsir_select,
         "zh_segment": q_zh_segment,
         "zh_segment_hmm": q_zh_segment_hmm,
         "qf_lm_ppl": q_lm_ppl,
@@ -2118,12 +2118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_toxicity": q_toxicity,
         "qf_url_filter": q_url_filter,
         "qf_web_pipeline": q_web_pipeline,
-        "qf_line_dedup": q_line_dedup,
+        "qf_split_len": q_sent_split_len,
+        "qf_b2q": q_b2q,
+        "ngram_counts": q_ngram_counts,
         "qf_host_cap": q_host_cap,
         "qf_sample": q_sample_hash,
         "dedup_incremental": q_dedup_incremental,
-        "nb_langid": q_nb_langid,
-        "dsir_select": q_dsir_select,
         "qf_fix_encoding": q_fix_encoding,
         "tok_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
