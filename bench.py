@@ -181,28 +181,52 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
 
     from pycorrector_spark.operators.dedup import release_cached
 
-    timings = {}
+    def _timed(name):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        _materialize(df)
+        el = time.time() - t0
+        # drop operator-persisted intermediates so repeated runs in one
+        # session don't accumulate executor storage (no-op mostly)
+        release_cached(df)
+        return el
+
+    # Pass 0 (untimed warm-up): one-time setup — driver-side artifact
+    # build, codegen, Arrow worker spin-up — never lands in a timed run.
     for name, fn in qs.items():
-        # per-query warm-up so one-time setup (driver-side artifact build,
-        # codegen, worker spin-up) never lands inside the timed run —
-        # every reported number is steady-state
         warm = fn(spark, sf_dir)
         _materialize(warm)
         release_cached(warm)
-        # best-of-3: this host shows occasional ±30% steal-time outliers
-        # (documented in BENCH/BASELINE.md); the minimum is the stable
-        # round-over-round comparator
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            _materialize(df)
-            el = time.time() - t0
-            # drop operator-persisted intermediates so repeated runs in one
-            # session don't accumulate executor storage (no-op mostly)
-            release_cached(df)
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+
+    # ROUND-ROBIN passes, per-query min across passes. Back-to-back
+    # repeats of one query all sit inside the same multi-second host
+    # steal window (that is exactly how BENCH_r04 recorded a phantom
+    # 2.9x on qf_pipeline_full despite best-of-3); interleaving the
+    # whole suite puts ~a minute between a query's samples, so a steal
+    # window can corrupt at most one of them.
+    samples: dict[str, list] = {name: [] for name in qs}
+    for _ in range(3):
+        for name in qs:
+            samples[name].append(_timed(name))
+
+    # Adaptive top-up: a query whose two fastest samples still disagree
+    # by >20% was hit in multiple passes — keep sampling it (spread over
+    # further suite-width gaps) until stable or the cap is reached.
+    def _stable(vals):
+        s = sorted(vals)
+        return s[1] <= 1.20 * s[0] + 0.05
+
+    for _ in range(2):
+        unstable = [n for n in qs if not _stable(samples[n])]
+        if not unstable:
+            break
+        for name in unstable:
+            samples[name].append(_timed(name))
+
+    timings = {name: round(min(v), 3) for name, v in samples.items()}
+    spread = {
+        name: round(sorted(v)[1] / max(min(v), 1e-9), 3) for name, v in samples.items()
+    }
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
@@ -217,6 +241,18 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "n_docs": n_docs,
+        # per-query throughput for document-table queries (docs/sec over
+        # the sf corpus); rel_*/ann_*/zh_*/en_* read other tables so a
+        # docs/s figure would be meaningless for them
+        "queries_docs_per_sec": {
+            name: round(n_docs / sec, 1)
+            for name, sec in timings.items()
+            if sec > 0
+            and not name.startswith(("rel_", "ann_", "zh_", "en_"))
+        },
+        # 2nd-fastest / fastest sample per query — ~1.0 means the minimum
+        # is reproducible, large values flag residual host noise
+        "sample_spread": spread,
     }
     if "qf_pipeline_full" in timings and timings["qf_pipeline_full"] > 0:
         result["pipeline_docs_per_sec"] = round(n_docs / timings["qf_pipeline_full"], 1)
