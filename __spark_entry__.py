@@ -1818,8 +1818,8 @@ def q_dedup_incremental(spark, sf_dir):
 def q_token_budget(spark, sf_dir):
     """Token-budget curation cut: keep best docs (by word count) while the
     running token total fits TOKEN_BUDGET. Exact global-prefix semantics
-    WITHOUT a global sort — driver-collected per-score bucket offsets +
-    a score-partitioned cumsum window (see select_token_budget)."""
+    WITHOUT a global sort — distributed prefix-sum over range partitions
+    (hot scores split on the id tie-break; see select_token_budget)."""
     from pycorrector_spark.operators.curation import select_token_budget
     from pycorrector_spark.operators.quality import with_quality_columns
 
@@ -1828,7 +1828,9 @@ def q_token_budget(spark, sf_dir):
         d, TOKEN_BUDGET, score_col="n_words", tokens_col="n_words",
         id_col="doc_id",
     )
-    return out.select("doc_id", "n_words", "cum_tokens")
+    res = out.select("doc_id", "n_words", "cum_tokens")
+    res._cached_deps = getattr(out, "_cached_deps", ())
+    return res
 
 
 def q_nb_langid(spark, sf_dir):

@@ -115,52 +115,84 @@ def select_token_budget(
     of the globally sorted corpus.
 
     The naive plan is a GLOBAL ordered cumsum — one window task holding
-    the whole corpus. Instead: per-score-bucket token totals are a tiny
-    aggregate collected to the driver, the running offset of each bucket
-    is broadcast-joined back, and the cumsum window runs PARTITIONED BY
-    score (parallel across buckets, ordered by id within). Buckets whose
-    offset already exceeds the budget are pruned before the window
-    shuffle. Requires a bounded score domain — quantize continuous scores
-    upstream (the collected aggregate is one row per distinct score).
+    the whole corpus. An earlier version partitioned the cumsum window BY
+    SCORE (driver offsets per distinct score), which is one task per
+    distinct score value: with a power-law score like n_words, one hot
+    score holds millions of rows and becomes the straggler (round-4
+    verdict item). This version is a distributed prefix-sum over RANGE
+    partitions of the full sort order instead:
 
-    NULL scores or token counts are dropped (they cannot be ordered or
-    budgeted).
+      1. ``repartitionByRange(P, score DESC, id ASC)`` — the range
+         partitioner samples (score, id) keys, so a hot score is SPLIT
+         across many partitions on the id tie-break and every partition
+         holds ~n/P rows regardless of the score distribution;
+      2. within-partition inclusive cumsum in one Arrow pass
+         (``mapInPandas`` with a carry across batches — zero shuffles);
+      3. per-partition totals (P rows) to the driver → running offsets,
+         partitions whose offset already exceeds the budget pruned
+         (offset == budget survives: zero-token rows there have inclusive
+         cum_tokens == budget and the contract keeps them);
+      4. broadcast the offsets back and filter ``offset + local <= budget``.
+
+    No bounded-score-domain requirement remains — continuous scores are
+    fine. The cumsum stage is persisted so the offsets job and the final
+    read see the same partition ids; release via
+    ``release_cached`` (the ``_cached_deps`` convention) after the final
+    action. NULL scores or token counts are dropped (they cannot be
+    ordered or budgeted).
     """
-    from pyspark.sql import Window
-
-    d = df.where(F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull())
-    buckets = sorted(
-        d.groupBy(score_col).agg(F.sum(tokens_col).alias("bt")).collect(),
-        key=lambda r: r[score_col],
-        reverse=True,
-    )
-    offsets, run = [], 0
-    for r in buckets:
-        if run > budget:
-            break  # bucket starts past the budget: nothing in it survives
-        # run == budget is NOT pruned: zero-token rows in that bucket have
-        # inclusive cum_tokens == budget and the contract keeps them.
-        offsets.append((r[score_col], run))
-        run += r["bt"]
     spark = df.sparkSession
-    if not offsets:
-        return d.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
-    off_df = spark.createDataFrame(offsets, [score_col, "bucket_offset"])
+    d = df.where(F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull())
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = d.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
 
-    w = (
-        Window.partitionBy(score_col)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # NB: df.schema is cached on the DataFrame and StructType.add mutates
+    # in place — build a fresh StructType, never .add onto ranged.schema
+    out_schema = StructType(
+        list(ranged.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_local_cum", LongType())]
     )
-    return (
-        d.join(F.broadcast(off_df), score_col)  # inner join prunes dead buckets
-        .withColumn(
-            "cum_tokens",
-            (F.col("bucket_offset") + F.sum(tokens_col).over(w)).cast("long"),
-        )
+    cols = [f.name for f in out_schema.fields]
+
+    def _local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry = 0
+        for pdf in batches:
+            cum = pdf[tokens_col].astype("int64").cumsum() + carry
+            if len(cum):
+                carry = int(cum.iloc[-1])
+            pdf = pdf.assign(_pid=pid, _local_cum=cum.astype("int64"))
+            yield pdf[cols]
+
+    cummed = ranged.mapInPandas(_local_cumsum, out_schema).persist()
+    totals = {
+        r["_pid"]: r["t"]
+        for r in cummed.groupBy("_pid").agg(F.max("_local_cum").alias("t")).collect()
+    }
+    offsets, run = [], 0
+    for pid in sorted(totals):
+        if run > budget:
+            break  # partition starts past the budget: nothing in it survives
+        offsets.append((pid, run))
+        run += totals[pid]
+    if not offsets:
+        cummed.unpersist()
+        return d.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    result = (
+        cummed.join(F.broadcast(off_df), "_pid")  # inner join prunes dead parts
+        .withColumn("cum_tokens", (F.col("_offset") + F.col("_local_cum")).cast("long"))
         .where(F.col("cum_tokens") <= budget)
-        .drop("bucket_offset")
+        .drop("_pid", "_local_cum", "_offset")
     )
+    result._cached_deps = (cummed,)
+    return result
 
 
 # ---------------------------------------------------------------------------
