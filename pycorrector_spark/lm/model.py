@@ -71,6 +71,10 @@ class CharNgramLM:
         self.vocab = vocab                      # dict char -> id (>=3)
         self.base = len(vocab) + 3
         self.order = order
+        # special-token ids; genuine-KenLM loads override these (KenLM
+        # assigns <s>/</s> ids by ARPA order, only <unk>=0 is fixed)
+        self.bos_id = np.int64(1)
+        self.eos_id = np.int64(2)
         self.p1 = p1                            # float64 [base]
         self.bow1 = bow1                        # float64 [base]
         self.keys = keys                        # {n: sorted int64}
@@ -192,9 +196,9 @@ class CharNgramLM:
         """Sum of per-token conditional log10 probs (kenlm Model.score)."""
         seq = ids
         if bos:
-            seq = np.concatenate(([np.int64(1)], seq))
+            seq = np.concatenate(([self.bos_id], seq))
         if eos:
-            seq = np.concatenate((seq, [np.int64(2)]))
+            seq = np.concatenate((seq, [self.eos_id]))
         start = 1 if bos else 0
         n = len(seq)
         if n - start <= 0:
@@ -240,7 +244,7 @@ class CharNgramLM:
         # build flat sequence [bos] ids [eos] per sentence
         parts = []
         for e in encs:
-            parts.append(np.concatenate(([np.int64(1)], e, [np.int64(2)])))
+            parts.append(np.concatenate(([self.bos_id], e, [self.eos_id])))
         flat = np.concatenate(parts)
         seq_lens = lens + 2
         starts = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))

@@ -98,11 +98,7 @@ def test_save_rejects_nothing_loads_garbage(tmp_path):
         load_binary(str(p))
 
 
-def test_kenlm_header_parse_and_payload_boundary(tmp_path):
-    """Synthesize a genuine-layout KenLM header (published Sanity +
-    FixedWidthParameters structs) and confirm the parser decodes every
-    field and raises the documented conversion error for the payload."""
-    p = tmp_path / "fake.klm"
+def _write_fake_header(p, model_type: int):
     with open(p, "wb") as f:
         f.write(KENLM_MAGIC)
         pad = (-f.tell()) % 4
@@ -114,20 +110,91 @@ def test_kenlm_header_parse_and_payload_boundary(tmp_path):
         f.write(struct.pack("<B", 5))
         f.write(b"\0" * ((-f.tell()) % 4))
         f.write(struct.pack("<f", 1.5))
-        f.write(struct.pack("<i", 0))  # PROBING
+        f.write(struct.pack("<i", model_type))
         f.write(struct.pack("<B", 1))
         f.write(b"\0" * ((-f.tell()) % 4))
         f.write(struct.pack("<I", 0))
         f.write(struct.pack("<5Q", 100, 200, 300, 400, 500))
-    with pytest.raises(NotImplementedError) as ei:
-        read_kenlm_header(str(p))
-    msg = str(ei.value)
-    assert "PROBING" in msg and "'order': 5" in msg and "500" in msg
 
-    # load_klm dispatches on magic
-    with pytest.raises(NotImplementedError):
+
+def test_kenlm_header_parse_and_payload_boundary(tmp_path):
+    """Synthesize a genuine-layout KenLM header (published Sanity +
+    FixedWidthParameters structs): the parser decodes every field;
+    non-PROBING model types raise the documented conversion error; a
+    truncated PROBING payload fails loudly."""
+    p = tmp_path / "fake.klm"
+    _write_fake_header(p, model_type=0)  # PROBING
+    info = read_kenlm_header(str(p))
+    assert info["sane"] and info["order"] == 5
+    assert info["model_type"] == "PROBING"
+    assert info["counts"] == [100, 200, 300, 400, 500]
+    assert info["probing_multiplier"] == pytest.approx(1.5)
+
+    # header-only file: payload decode must fail loudly, not return junk
+    with pytest.raises((ValueError, struct.error)):
         load_klm(str(p))
+
+    t = tmp_path / "trie.klm"
+    _write_fake_header(t, model_type=2)  # TRIE
+    with pytest.raises(NotImplementedError) as ei:
+        load_klm(str(t))
+    assert "TRIE" in str(ei.value)
+
     q = tmp_path / "not_klm.bin"
     q.write_bytes(b"\\data\\\nngram 1=3\n")
     with pytest.raises(ValueError):
         read_kenlm_header(str(q))
+
+
+# ---------------------------------------------------------------------------
+# genuine-KenLM PROBING payload round-trip (round-4 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def klm_path(lm, tmp_path_factory):
+    from pycorrector_spark.lm.binary import write_kenlm_probing
+
+    p = tmp_path_factory.mktemp("klm") / "model.klm"
+    write_kenlm_probing(lm, str(p))
+    return str(p)
+
+
+def test_kenlm_probing_payload_roundtrip_scores(lm, klm_path):
+    """A real-layout PROBING binary (written by this module's
+    build_binary workalike from the fixture LM) loads through the genuine
+    payload decoder and reproduces the float64 model's scores to float32
+    tolerance — the disclosed bit_exact=False contract."""
+    from pycorrector_spark.lm.binary import KenLMProbingLM
+
+    m = load_klm(klm_path)
+    assert isinstance(m, KenLMProbingLM) and m.bit_exact is False
+    assert m.order == lm.order
+    assert int(m.bos_id) == 1 and int(m.eos_id) == 2
+    got, want = _scores(m), _scores(lm)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    # per-sentence raw log10 scores too (ppl exponentiation can hide sign
+    # errors on short strings)
+    for t in TEXTS[:8]:
+        a = m.score_chars(t, bos=True, eos=True)
+        b = lm.score_chars(t, bos=True, eos=True)
+        assert a == pytest.approx(b, rel=2e-4, abs=1e-3)
+
+
+def test_kenlm_probing_header_fields(lm, klm_path):
+    info = read_kenlm_header(klm_path)
+    assert info["sane"] and info["model_type"] == "PROBING"
+    assert info["order"] == lm.order
+    assert info["counts"][0] == lm.base
+    assert info["counts"][1:] == [len(lm.keys.get(n, ())) for n in
+                                  range(2, lm.order + 1)]
+    assert info["has_vocabulary"]
+
+
+def test_kenlm_probing_oov_and_unk(lm, klm_path):
+    """OOV chars miss the vocab probing table and fall to <unk> id 0 —
+    same path a genuine kenlm query takes."""
+    m = load_klm(klm_path)
+    oov = "\N{SNOWMAN}"
+    assert np.all(m.encode(oov) == 0)
+    assert np.isfinite(m.perplexity_chars(oov + "的"))
