@@ -1174,14 +1174,13 @@ def q_eval_f1(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal: binary payload -> feature vector through the Arrow-
-    batched decode stage. PNG rows (2/3 of the table) decode FOR REAL —
-    pure-Python zlib-inflate + scanline-unfilter codec — and GIF rows
-    (1/6) decode through the real pure-Python LZW codec
-    (operators/multimodal.decode_png / decode_gif), true pixel statistics
-    both; only the jpeg rows (1/6) keep the disclosed deterministic-fake
-    stub. Features emitted as comma-joined
-    repr strings so the checker can hash them; oracle = the same strings
-    precomputed from the same deterministic payloads."""
+    batched decode stage. ALL 64 rows decode FOR REAL as of round 5:
+    PNG (pure-Python zlib-inflate + scanline unfilter), GIF (full LZW)
+    and baseline JPEG (DCT + Annex-K Huffman, 4:4:4 and 4:2:0 rows) —
+    true pixel statistics throughout, no deterministic_fake anywhere on
+    this path. Features emitted as comma-joined repr strings so the
+    checker can hash them; oracle = the same strings precomputed from
+    the same deterministic payloads."""
     import pandas as pd
     from pycorrector_spark.operators.multimodal import (
         decode_image_batch,
@@ -1190,7 +1189,7 @@ def q_media_features(spark, sf_dir):
 
     def fn(it):
         for pdf in it:
-            feats = decode_image_batch(pdf["payload"], deterministic_fake=True)
+            feats = decode_image_batch(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -2148,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) new or changed this round (round 5) ----------------------
         "qf_lm_ppl_klm": q_lm_ppl_klm,
         "qf_token_budget": q_token_budget,
+        "media_features": q_media_features,
         # --- (c) stable greens (proven in CORRECTNESS_r04) ----------------
         "qf_detect": q_detect,
         "zh_proper": q_proper,
@@ -2158,7 +2158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
-        "media_features": q_media_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,
         "rel_bucketed_join": q_rel_bucketed_join,
@@ -2517,7 +2516,7 @@ def _media_features_oracle_sql() -> str:
 
     values = ", ".join(
         f"({i}, {_sq(mime)}, "
-        f"{_sq(','.join(repr(float(x)) for x in media_features(payload, deterministic_fake=True)))})"
+        f"{_sq(','.join(repr(float(x)) for x in media_features(payload)))})"
         for i, mime, _w, _h, payload in media_rows(64)
     )
     return f"SELECT * FROM (VALUES {values}) t(media_id, mime, features)"

@@ -10,11 +10,16 @@ Decode tiers:
   12 bits, CLEAR/EOI, the KwKwK case), global/local color tables,
   interlaced row ordering, extension skipping; the fixture encoder emits
   valid constant-width LZW (the 'uncompressed GIF' technique).
-- Other mime types remain STUBBED (no jpeg/audio/video codecs in this
-  container): ``decode_image_batch`` raises NotImplementedError unless
-  ``deterministic_fake=True``, in which case non-PNG payloads produce a
-  seeded fake feature vector derived from the binary's bytes — the
-  Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
+- JPEG payloads decode FOR REAL as of round 5: a baseline-sequential
+  DCT codec (ITU-T T.81 — Annex K quantization/Huffman tables, canonical
+  code construction, byte stuffing, restart markers, 4:2:0 replication
+  upsampling) plus a matching encoder for deterministic fixtures.
+  Progressive/arithmetic files raise NotImplementedError.
+- Audio/video mime types remain STUBBED (no ffmpeg in this container):
+  ``decode_image_batch`` raises NotImplementedError unless
+  ``deterministic_fake=True``, in which case undecodable payloads
+  produce a seeded fake feature vector derived from the binary's bytes —
+  the Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
   signature) is real and tested end-to-end while those codecs stay
   swappable.
 
@@ -343,6 +348,496 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+# ---------------------------------------------------------------------------
+# JPEG codec (baseline sequential DCT, ITU-T T.81; JFIF color space)
+#
+# Round-4 verdict ask #6: the jpeg third of the media table was the last
+# deterministic-fake codec. This is a dependency-free baseline encoder +
+# decoder: Annex K quantization and Huffman tables, canonical Huffman
+# code construction, 8x8 float64 DCT/IDCT matrices, byte stuffing,
+# restart markers, per-component sampling factors with replication
+# upsampling (so common 4:2:0 files decode too). Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QL = np.array([  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+_JPEG_QC = np.array([  # Annex K.1 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits, values):
+    """Canonical JPEG Huffman code assignment (T.81 C.2): symbol ->
+    (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits, values):
+    """(code, length) -> symbol map for bit-serial decoding."""
+    return {cl: sym for sym, cl in _huff_codes(bits, values).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _bit_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes) -> int:
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    s = _bit_category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coef_zz)[0])) if np.any(coef_zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _bit_category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+    """Baseline JPEG encode of an (h, w, 3) or (h, w) uint8 array:
+    JFIF YCbCr, Annex K quantization + Huffman tables, single interleaved
+    scan. ``subsampling``: "444" (chroma at full resolution) or "420"
+    (chroma 2x2-averaged, the dominant wild format — exercises the
+    decoder's replication-upsample path)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc == 1:
+        comps = [px[:, :, 0] - 128.0]
+    elif nc == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    else:
+        raise ValueError("encode_jpeg expects gray or RGB pixels")
+    quants = [_JPEG_QL] + [_JPEG_QC] * (len(comps) - 1)
+    dc_tabs = [_huff_codes(*_DC_L)] + [_huff_codes(*_DC_C)] * (len(comps) - 1)
+    ac_tabs = [_huff_codes(*_AC_L)] + [_huff_codes(*_AC_C)] * (len(comps) - 1)
+
+    sub = subsampling == "420" and nc == 3
+    samp = [(2, 2), (1, 1), (1, 1)][:nc] if sub else [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if sub:
+        # 2x2 box-average chroma (pad odd dims by edge replication first)
+        for ci in (1, 2):
+            c = comps[ci]
+            c = np.pad(c, ((0, h % 2), (0, w % 2)), mode="edge")
+            comps[ci] = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
+                                + c[0::2, 1::2] + c[1::2, 1::2])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for ci, c in enumerate(comps):
+        th, tw = mcuy * samp[ci][1] * 8, mcux * samp[ci][0] * 8
+        padded.append(
+            np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge")
+        )
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, plane in enumerate(padded):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = plane[y0:y0 + 8, x0:x0 + 8]
+                        f = _DCT_M @ blk @ _DCT_M.T
+                        q = np.round(f.reshape(64) / quants[ci]).astype(np.int64)
+                        # zigzag position k holds raster coeff _JPEG_ZIGZAG[k]
+                        preds[ci] = _encode_block(
+                            writer, q[_JPEG_ZIGZAG], preds[ci],
+                            dc_tabs[ci], ac_tabs[ci],
+                        )
+    scan = writer.flush()
+
+    out = bytearray(b"\xff\xd8")                              # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qtabs = [(0, _JPEG_QL)] + ([(1, _JPEG_QC)] if len(comps) > 1 else [])
+    for tid, q in qtabs:
+        body = bytes([tid]) + bytes(int(q[z]) for z in _JPEG_ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    # SOF0: 8-bit, h x w, components (id, sampling h<<4|v, quant table)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci in range(len(comps)):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    huffs = [(0x00, _DC_L), (0x10, _AC_L)]
+    if len(comps) > 1:
+        huffs += [(0x01, _DC_C), (0x11, _AC_C)]
+    for tc, (bits, values) in huffs:
+        body = bytes([tc]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += scan
+    out += b"\xff\xd9"                                        # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _huff_read(reader, table) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG decode -> uint8 array (h, w, 3) for color or
+    (h, w, 1) for grayscale: marker parse, Huffman + DCT coefficient
+    decode, dequantize, IDCT, replication upsampling for subsampled
+    chroma (4:2:0 etc.), JFIF YCbCr -> RGB. Progressive/arithmetic/12-bit
+    files raise NotImplementedError."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables, htables = {}, {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos: pos + 2])
+        seg = data[pos + 2: pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+                q = np.empty(64)
+                q[_JPEG_ZIGZAG] = vals
+                qtables[tq] = q
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1: i + 17])
+                nv = sum(bits)
+                values = list(seg[i + 17: i + 17 + nv])
+                htables[(tc, th)] = _huff_decoder(bits, values)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3: 9 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02x} (progressive/arithmetic/"
+                "hierarchical) is not baseline"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_map = {}
+            for si in range(ns):
+                cs, tt = seg[1 + si * 2: 3 + si * 2]
+                scan_map[cs] = (tt >> 4, tt & 0x0F)
+            # entropy-coded segment: unstuff FF00, stop at next marker
+            ecs = bytearray()
+            p = pos
+            rst_breaks = []
+            while p < len(data) - 1:
+                if data[p] == 0xFF:
+                    nxt = data[p + 1]
+                    if nxt == 0x00:
+                        ecs.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn
+                        rst_breaks.append(len(ecs))
+                        p += 2
+                        continue
+                    break
+                ecs.append(data[p])
+                p += 1
+            return _decode_scan(
+                frame, qtables, htables, scan_map, bytes(ecs), rst_breaks,
+                restart_interval,
+            )
+        # APPn/COM and others: skipped
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(frame, qtables, htables, scan_map, ecs, rst_breaks,
+                 restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
+    reader = _BitReader(ecs)
+    preds = [0] * len(comps)
+    mcu_i = 0
+    breaks = set(rst_breaks)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # RST boundary: byte-align onto the recorded break offset
+                reader.align()
+                preds = [0] * len(comps)
+                if reader.pos not in breaks and breaks:
+                    # tolerate writers that omit trailing markers
+                    pass
+            for ci, c in enumerate(comps):
+                dc_t = htables[(0, scan_map[c["id"]][0])]
+                ac_t = htables[(1, scan_map[c["id"]][1])]
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = _huff_read(reader, dc_t)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(reader, ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sz = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+                        raster = np.zeros(64)
+                        raster[_JPEG_ZIGZAG] = coef
+                        blk = (raster * q).reshape(8, 8)
+                        px = _DCT_M.T @ blk @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_i += 1
+    # upsample to full resolution by replication, crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    if len(full) == 3:
+        # all planes carry the +128 level shift from the IDCT stage; for
+        # chroma that IS the JFIF 128 bias, so re-center before the matrix
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{len(full)}-component JPEG")
+
+
+def jpeg_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image features from a decoded JPEG — same statistic layout as
+    png_features/gif_features."""
+    px = decode_jpeg(payload).astype(np.float64)
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    feats = [float(w), float(h), float(c),
+             float(flat.mean()), float(flat.std()),
+             float(flat.min()), float(flat.max())]
+    for ch in range(4):
+        feats.append(float(flat[:, ch].mean()) if ch < c else 0.0)
+    for ch in range(4):
+        feats.append(float(flat[:, ch].std()) if ch < c else 0.0)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return np.asarray(feats, dtype=np.float64)
+
+
 def gif_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """REAL image features from a decoded GIF — same statistic layout as
     png_features (dims + global/per-channel stats), so downstream feature
@@ -367,7 +862,9 @@ def media_rows(n: int = 64, seed: int = 42) -> list:
     oracle precompute. PNG rows carry REAL encoded PNGs (deterministic
     gradient+noise pixels, filter-0); GIF rows carry REAL encoded GIFs
     (seeded palette + indexed pixels through the LZW encoder); jpeg rows
-    keep opaque random bytes for the disclosed fake-codec path."""
+    carry REAL baseline JPEGs (smooth gradient + noise through the DCT
+    encoder, alternating 4:4:4 and 4:2:0 so both decode paths are
+    exercised)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -391,8 +888,16 @@ def media_rows(n: int = 64, seed: int = 42) -> list:
             payload = encode_png(((grad + noise) % 256).astype(np.uint8))
             rows.append((i, "image/png", pw, ph, payload))
         else:
-            payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
-            rows.append((i, "image/jpeg", w, h, payload))
+            pw, ph = (w % 16) + 4, (h % 16) + 4
+            base = (
+                np.arange(ph)[:, None, None] * 5.0
+                + np.arange(pw)[None, :, None] * 3.0
+                + np.arange(3)[None, None, :] * 25.0
+            )
+            noise = rng.normal(0, 8, size=(ph, pw, 3))
+            px = np.clip(base % 256 + noise, 0, 255).astype(np.uint8)
+            payload = encode_jpeg(px, subsampling="420" if i % 2 else "444")
+            rows.append((i, "image/jpeg", pw, ph, payload))
     return rows
 
 
@@ -432,18 +937,21 @@ def png_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def media_features(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """Feature vector for one payload: REAL decode for PNG signatures,
-    the seeded fake for other mimes (when allowed)."""
+    """Feature vector for one payload: REAL decode for PNG, GIF and
+    baseline JPEG signatures; the seeded fake only for mimes with no
+    in-sandbox codec (audio/video), and only when allowed."""
     p = bytes(payload)
     if p.startswith(PNG_SIGNATURE):
         return png_features(p)
     if p[:6] in GIF_SIGNATURES:
         return gif_features(p)
+    if p.startswith(b"\xff\xd8"):
+        return jpeg_features(p)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PNG and GIF decode in this container (pure-Python "
-            "codecs); other mimes need PIL/opencv/ffmpeg — run with "
-            "deterministic_fake=True or swap in a codec"
+            "only PNG, GIF and baseline JPEG decode in this container "
+            "(pure-Python codecs); other media needs PIL/opencv/ffmpeg — "
+            "run with deterministic_fake=True or swap in a codec"
         )
     return _fake_features(p)
 

@@ -125,7 +125,7 @@ def test_media_rows_png_payloads_really_decode():
             assert px.shape == (h, w, 3)
             n_gif += 1
         else:
-            # jpeg stays the disclosed fake-codec boundary
-            with pytest.raises(NotImplementedError):
-                media_features(payload, deterministic_fake=False)
-    assert n_png >= 8 and n_gif >= 2  # real codecs cover 5/6 of the table
+            # jpeg decodes for real too as of round 5 (see test_jpeg.py)
+            feats = media_features(payload, deterministic_fake=False)
+            assert feats[0] == float(w) and feats[1] == float(h)
+    assert n_png >= 8 and n_gif >= 2  # real codecs cover 6/6 of the table
