@@ -2148,13 +2148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_lm_ppl_klm": q_lm_ppl_klm,
         "qf_token_budget": q_token_budget,
         "media_features": q_media_features,
-        # --- (c) stable greens (proven in CORRECTNESS_r04) ----------------
+        # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
+        # the dict (segmentation, OOV detect, correct, pipeline) changed
+        # behavior and re-proves here
+        "zh_segment": q_zh_segment,
+        "zh_segment_hmm": q_zh_segment_hmm,
+        "zh_segment_pos": q_zh_segment_pos,
         "qf_detect": q_detect,
-        "zh_proper": q_proper,
         "zh_correct_full": q_zh_correct_full,
-        "en_spell_full": q_en_spell_full,
         "zh_confusion": q_confusion,
+        "zh_proper": q_proper,
         "eval_f1": q_eval_f1,
+        "qf_pipeline_full": q_pipeline_full,
+        "qf_pipeline_pool": q_pipeline_pool,
+        "resume_pipeline": q_resume_pipeline,
+        "stream_pipeline": q_stream_pipeline,
+        # --- (c) stable greens (proven in CORRECTNESS_r04) ----------------
+        "en_spell_full": q_en_spell_full,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,

@@ -19,7 +19,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 
-from .dicts import CONFUSION_DICT, SIMILAR_CHARS, WORDS_ZH
+from .dicts import COMMON_WORDS_ZH, CONFUSION_DICT, SIMILAR_CHARS, WORDS_ZH
 
 # -- clean zh sentences (reference fixture corpus; see module docstring) --
 CLEAN_ZH = [
@@ -312,9 +312,14 @@ def word_freq_en():
 
 
 def word_freq_zh():
-    """Word dict for OOV detection: curated multi-char words + every char
-    of the clean corpus as a 1-char word (so only corrupted chars are OOV)."""
+    """Word dict for segmentation + OOV detection: curated fixture words,
+    the COMMON_WORDS_ZH public high-frequency vocabulary (round-5
+    boundary-F1 closure; the reference's dict covers everyday words the
+    90-entry fixture list missed), and every char of the clean corpus as
+    a 1-char word (so only corrupted chars are OOV)."""
     wf = dict(WORDS_ZH)
+    for w, c in COMMON_WORDS_ZH.items():
+        wf.setdefault(w, c)
     for sent in CLEAN_ZH:
         for ch in sent:
             if "一" <= ch <= "龥":

@@ -125,7 +125,7 @@ def test_segmentation_agreement_vs_recorded_jieba(hmm):
     )
     for m in mismatch_sample:
         print("  DIVERGE", m)
-    # conservative floor: the dict-derived segmenter must stay in the
-    # same neighborhood as jieba even though its tables differ (the
-    # measured value, printed above, is the deliverable — see BENCH/NOTES)
-    assert mean_f1 >= 0.6, mean_f1
+    # floor raised round 5 (verdict ask #4 done-criterion: >= 0.80 HMM)
+    # after COMMON_WORDS_ZH closed most of the dict-content gap:
+    # measured 0.847 (no-HMM) / 0.856 (HMM) vs 0.620/0.694 in round 4
+    assert mean_f1 >= 0.80, mean_f1
