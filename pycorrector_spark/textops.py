@@ -461,15 +461,22 @@ def pos_of_token(token: str, word_freq: dict,
     (documented divergence, same class as the HMM tables): jieba's
     dict.txt carries a trained per-word tag which is not shipped here, so
     tags come from the dims the repo DOES have — person/place name lists
-    -> nr/ns, numeric shapes -> m, latin -> eng, symbol-only -> x,
-    everything else (dict words and CJK OOV) -> n, jieba's majority tag.
-    Deterministic, which is what the oracle checks."""
+    -> nr/ns, the hand-written POS_TAGS_ZH common-word tag dict (round 5,
+    accuracy measured in tests/test_pos_agreement.py), numeric shapes ->
+    m, latin -> eng, symbol-only -> x, everything else (dict words and
+    CJK OOV) -> n, jieba's majority tag. Deterministic, which is what
+    the oracle checks."""
+    from .dicts import POS_TAGS_ZH
+
     if not token:
         return "x"
     if person_names and token in person_names:
         return "nr"
     if place_names and token in place_names:
         return "ns"
+    tag = POS_TAGS_ZH.get(token)
+    if tag is not None:
+        return tag
     if _POS_NUM_RE.match(token) or all(c in _CJK_NUMERALS for c in token):
         return "m"
     if _POS_ENG_RE.match(token):

@@ -336,8 +336,11 @@ def test_pos_of_token_flags():
     assert pos_of_token("hello", wf) == "eng"
     assert pos_of_token("，", wf) == "x"
     assert pos_of_token("！？", wf) == "x"
-    assert pos_of_token("工作", wf) == "n"
+    # round 5: POS_TAGS_ZH carries trained-style tags for common words
+    assert pos_of_token("工作", wf) == "vn"
+    assert pos_of_token("知道", wf) == "v"
     assert pos_of_token("犇", wf) == "n"  # CJK OOV -> majority tag
+    assert pos_of_token("桌子", wf) == "n"  # common noun: heuristic default
     assert pos_of_token("", wf) == "x"
 
 
@@ -349,7 +352,7 @@ def test_segment_pos_word_and_char_modes():
     out = segment_pos(s, wf)
     assert "".join(t for t, _b, _e, _f in out) == s
     flags = {t: f for t, _b, _e, f in out}
-    assert flags["少先队员"] == "n" and flags["让座"] == "n"
+    assert flags["少先队员"] == "n" and flags["让座"] == "v"
     # spans are contiguous and tags align positionally
     pos = 0
     for t, b, e, _f in out:
@@ -359,4 +362,4 @@ def test_segment_pos_word_and_char_modes():
     # tokenizer.py:115-121 behavior
     chars = segment_pos("为12a，", wf, cut_type="char")
     assert [t for t, *_ in chars] == ["为", "1", "2", "a", "，"]
-    assert [f for *_, f in chars] == ["n", "m", "m", "eng", "x"]
+    assert [f for *_, f in chars] == ["p", "m", "m", "eng", "x"]
