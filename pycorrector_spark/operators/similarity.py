@@ -344,6 +344,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    exact_limit: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -354,12 +355,25 @@ def cosine_near_dup_pairs(
     id_a < id_b mask means each pair is produced exactly once, on the
     partition holding the smaller id's row). O(n^2/p) FLOPs per
     executor via SIMD GEMM — ~30x the interpreted HOF-fold crossJoin
-    this replaced. Memory envelope: the broadcast matrix is n*dim*8
-    bytes (~5 GB at 10M x 64), which bounds this exact baseline; past
-    that, the scale path is the candidate->verify shape of
-    minhash_dedup_pairs (with_lsh_bucket buckets for recall + exact
-    cosine on candidates only).
+    this replaced.
+
+    SMALL-CORPUS BASELINE ONLY (round-4 verdict ask #9): the whole
+    corpus is collected to the driver and broadcast (n*dim*8 bytes), so
+    the function REFUSES corpora beyond ``exact_limit`` rows instead of
+    silently OOMing an hour into a big job — direct callers hit the same
+    guard the embedding_near_dup_pairs dispatcher applies. Past the
+    limit use cosine_near_dup_pairs_bucketed (banded-LSH candidates +
+    exact verify), or pass a larger exact_limit deliberately if the
+    driver/executor memory genuinely holds the matrix.
     """
+    probe = df.limit(exact_limit + 1).count()
+    if probe > exact_limit:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the exact small-corpus baseline: "
+            f"corpus exceeds exact_limit={exact_limit} rows; use "
+            "cosine_near_dup_pairs_bucketed (LSH candidates + exact "
+            "verify) or raise exact_limit explicitly"
+        )
     vecs_pdf = _valid_rows(df.select(id_col, vec_col).toPandas(), vec_col)
     if not len(vecs_pdf):
         return _empty_result(df.sparkSession, "id_a long, id_b long, cosine double")

@@ -422,6 +422,15 @@ def test_similarity_kernels_survive_null_and_empty_inputs(spark):
     assert cosine_near_dup_pairs(empty).collect() == []
     assert matmul_topk(df, qpdf.iloc[:0], k=2).collect() == []
 
+    # round-4 verdict ask #9: the exact GEMM baseline collects the whole
+    # corpus to the driver, so direct callers must fail LOUDLY past the
+    # broadcast envelope instead of silently OOMing
+    with pytest.raises(ValueError, match="exact_limit"):
+        cosine_near_dup_pairs(df, exact_limit=3)
+    # a deliberate larger limit still works
+    assert {(r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(df, exact_limit=4).collect()} == {(0, 1)}
+
 
 def test_simhash_near_pairs_excludes_wordless_sentinel(spark):
     """Empty/whitespace docs all hash to 0; they must not pairwise match
