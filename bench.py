@@ -336,6 +336,165 @@ def run_skew(sf_dir: str, cpus: int, n_hot: int = 40_000) -> dict:
     }
 
 
+def _eventlog_spark(cpus: int, name: str):
+    """Session with an uncompressed event log in a temp dir — real
+    per-task durations for the skew legs (statusTracker has no task
+    times; the event log does)."""
+    import tempfile
+
+    from pycorrector_spark.session import get_spark
+
+    evdir = tempfile.mkdtemp(prefix=f"{name}_ev_")
+    spark = get_spark(
+        f"bench-{name}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    return spark, evdir
+
+
+def _task_histogram(evdir: str) -> dict:
+    """max/p50 task duration of the heaviest stage, from TaskEnd events;
+    removes the event-log dir afterwards."""
+    import glob
+    import shutil
+
+    stages: dict = {}
+    paths = [p for p in glob.glob(f"{evdir}/**", recursive=True)
+             if os.path.isfile(p)
+             and os.path.basename(p).startswith(("events", "local-"))]
+    for path in paths:
+        with open(path, errors="ignore") as f:
+            for line in f:
+                if '"Event":"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                info = ev.get("Task Info", {})
+                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                stages.setdefault(ev.get("Stage ID"), []).append(dur)
+    shutil.rmtree(evdir, ignore_errors=True)
+    heaviest = max(stages.values(), key=sum) if stages else [0]
+    heaviest.sort()
+    p50 = heaviest[len(heaviest) // 2]
+    return {"p50": p50, "max": heaviest[-1], "n_tasks": len(heaviest)}
+
+
+def run_tb_skew(sf_dir: str, cpus: int, replicate: int = 200) -> dict:
+    """Round-4 verdict ask #3 done-criterion: select_token_budget under a
+    DEGENERATE score distribution — 80% of rows share one score value.
+    The old score-partitioned window would put all those rows in ONE
+    cumsum task; the range-partitioned prefix-sum must show a balanced
+    task histogram (max ~ p50) and stay correct (row count checked
+    against the arithmetic expectation)."""
+    from pyspark.sql import functions as F
+
+    from pycorrector_spark.operators.curation import select_token_budget
+    from pycorrector_spark.operators.dedup import release_cached
+
+    spark, evdir = _eventlog_spark(cpus, "tbskew")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    big = (
+        docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+            # 80% of rows score 7 (the hot value), the rest spread 1..5
+            F.when((F.col("doc_id") % 5) != 0, F.lit(7))
+            .otherwise(F.col("doc_id") % 5 + 1).alias("score"),
+            F.lit(2).alias("toks"),
+        )
+    )
+    n = big.count()
+    budget = n  # keeps ~half the rows; boundary lands inside the hot score
+    out = select_token_budget(big, budget, "score", "toks", "doc_id")
+    t0 = time.time()
+    kept = out.count()
+    wall = round(time.time() - t0, 3)
+    release_cached(out)
+    spark.stop()
+    hist = _task_histogram(evdir)
+    return {
+        "metric": "token_budget_skew_task_balance",
+        "value": round(hist["max"] / max(hist["p50"], 1), 2),
+        "unit": "max_over_p50_task_ms",
+        "queries": {"token_budget_hot80pct": wall},
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_rows": int(n),
+        "kept_rows": int(kept),
+        "kept_expected": budget // 2,
+        "task_ms": hist,
+    }
+
+
+def run_para_skew(sf_dir: str, cpus: int, hot_frac: float = 0.10,
+                  replicate: int = 16) -> dict:
+    """Round-4 verdict ask #8: paragraph-dedup under a degenerate key
+    distribution — ONE paragraph hash holding ~``hot_frac`` of all
+    paragraph rows (a boilerplate footer repeated across the crawl).
+    Confirms (a) the winner aggregation stays a hash aggregate (no
+    SortAggregate reappears), (b) AQE keeps the stage balanced: the
+    task-duration histogram of the heaviest stage is read from the Spark
+    EVENT LOG (real per-task times, not estimates) and reported as
+    max/p50. A hot md5 key cannot straggle the winner agg because the
+    map-side partial combine collapses each partition's copies to one
+    row before the shuffle — that is the property this leg proves."""
+    from pyspark.sql import functions as F
+
+    from pycorrector_spark.operators.webrules import paragraph_dedup
+
+    spark, evdir = _eventlog_spark(cpus, "paraskew")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    # ~9 distinct paragraphs per doc + 1 shared hot paragraph -> the hot
+    # md5 holds ~hot_frac of all paragraph rows; replicate to make the
+    # stage compute-bound
+    n_distinct = max(2, int(round(1.0 / hot_frac)) - 1)
+    hot = "HOT BOILERPLATE FOOTER: subscribe to our newsletter today"
+    big = (
+        docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+            F.concat_ws(
+                "\n\n",
+                *[F.concat_ws("-", F.lit(f"para{i}"), F.col("doc_id"),
+                              F.col("rep"), F.substring("text", 1, 40))
+                  for i in range(n_distinct)],
+                F.lit(hot),
+            ).alias("page_text"),
+        )
+    )
+    out = paragraph_dedup(big, text_col="page_text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    sort_agg = "SortAggregate" in plan
+    _materialize(out)  # warm-up
+    t0 = time.time()
+    _materialize(out)
+    wall = round(time.time() - t0, 3)
+    n_rows = big.count()
+    spark.stop()
+
+    hist = _task_histogram(evdir)
+    return {
+        "metric": "para_skew_task_balance",
+        "value": round(hist["max"] / max(hist["p50"], 1), 2),
+        "unit": "max_over_p50_task_ms",
+        "queries": {"para_dedup_hot10pct": wall},
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "n_paragraph_rows": int(n_rows * (n_distinct + 1)),
+        "hot_fraction": round(1.0 / (n_distinct + 1), 3),
+        "sort_aggregate_in_plan": sort_agg,
+        "task_ms": hist,
+    }
+
+
 def run_bucketed(sf_dir: str, cpus: int, replicate: int = 64, n_joins: int = 5) -> dict:
     """Bucketed vs plain-parquet layout for a repeated big-big join — the
     measured evidence behind storage.py's zero-Exchange claim.
@@ -658,6 +817,8 @@ def main():
     ap.add_argument("--replicate", type=int, default=128)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--paraskew", action="store_true")
+    ap.add_argument("--tbskew", action="store_true")
     ap.add_argument("--bucketed", action="store_true")
     ap.add_argument("--opscale", action="store_true")
     ap.add_argument("--scale-cores", default="4,16",
@@ -669,6 +830,10 @@ def main():
         result = run_scaling(args.sf_dir, n_cores=n, n4_cores=n4, replicate=args.replicate)
     elif args.skew:
         result = run_skew(args.sf_dir, args.cpus)
+    elif args.paraskew:
+        result = run_para_skew(args.sf_dir, args.cpus)
+    elif args.tbskew:
+        result = run_tb_skew(args.sf_dir, args.cpus)
     elif args.bucketed:
         result = run_bucketed(args.sf_dir, args.cpus)
     elif args.opscale:
