@@ -1203,6 +1203,39 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage (round 5, REAL end-to-end): decode
+    (PNG/GIF/baseline JPEG by signature) -> nearest-neighbor resample to
+    16x12 -> re-encode as PNG, one Arrow batch function
+    (operators/multimodal.resize_image). Output keyed by the md5 of the
+    re-encoded payload so the oracle (same pure codec driver-side)
+    proves byte-identical media bytes, not just shapes."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from pycorrector_spark.operators.multimodal import make_media_table, resize_image
+
+    resized = resize_image(make_media_table(spark, 64), target_w=16, target_h=12)
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "resized_md5": [
+                        _hl.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return resized.mapInPandas(
+        fn, "media_id long, mime string, width long, height long, resized_md5 string"
+    )
+
+
 # source/checkpoint dirs created by q_stream_dedup in this process (same
 # reap discipline as the IVF index dirs)
 _STREAM_DIRS: set = set()
@@ -2148,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_lm_ppl_klm": q_lm_ppl_klm,
         "qf_token_budget": q_token_budget,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
         # the dict (segmentation, OOV detect, correct, pipeline) changed
         # behavior and re-proves here
@@ -2521,6 +2555,29 @@ def _dedup_minhash_oracle_sql() -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def _media_resize_oracle_sql() -> str:
+    """Expected (media_id, mime, 16, 12, md5(png)) via the SAME pure
+    decode/resample/encode functions driver-side."""
+    import hashlib as _hl
+
+    from pycorrector_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        media_rows,
+        resize_pixels,
+    )
+
+    values = ", ".join(
+        f"({i}, {_sq(mime)}, 16, 12, "
+        f"{_sq(_hl.md5(encode_png(resize_pixels(decode_image(payload), 16, 12))).hexdigest())})"
+        for i, mime, _w, _h, payload in media_rows(64)
+    )
+    return (
+        f"SELECT * FROM (VALUES {values}) "
+        "t(media_id, mime, width, height, resized_md5)"
+    )
+
+
 def _media_features_oracle_sql() -> str:
     from pycorrector_spark.operators.multimodal import media_features, media_rows
 
@@ -3606,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_pipeline_pool": _pipeline_pool_oracle_sql(),
         "qf_pipeline_full": _pipeline_full_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_resize": _media_resize_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),

@@ -987,37 +987,63 @@ def extract_image_features(
     return df.mapInPandas(fn, "media_id long, mime string, features array<double>")
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch decode by signature: PNG / GIF / baseline JPEG -> uint8
+    (h, w, c). Raises NotImplementedError for other media."""
+    p = bytes(payload)
+    if p.startswith(PNG_SIGNATURE):
+        return decode_png(p)
+    if p[:6] in GIF_SIGNATURES:
+        return decode_gif(p)
+    if p.startswith(b"\xff\xd8"):
+        return decode_jpeg(p)
+    raise NotImplementedError("no in-sandbox codec for this payload")
+
+
+def resize_pixels(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center rule) — deterministic and
+    engine-portable, the resampler the resize stage shares with its
+    driver-side oracle."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1)
+    return px[ys][:, xs]
+
+
 def resize_image(
     df: DataFrame,
     target_w: int = 64,
     target_h: int = 64,
     payload_col: str = "payload",
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Resize stub with real Spark plumbing: same columns out, metadata
-    updated to the target dims, payload re-emitted (a real implementation
-    decodes + resamples + re-encodes inside this same batch function).
+    """REAL image resize as of round 5: decode (PNG/GIF/baseline JPEG by
+    signature), nearest-neighbor resample, re-encode as PNG — all inside
+    one Arrow batch function; same columns out, metadata updated.
 
-    With deterministic_fake the 'resized' payload is a length-scaled
-    sha256 stream of the original — deterministic, size-plausible, and
-    clearly fake."""
+    ``deterministic_fake=True`` keeps the old sha256-stream stand-in for
+    payloads no in-sandbox codec decodes (audio/video) instead of
+    raising — the disclosed stub path, now OFF the image route."""
 
     def fn(it):
         for pdf in it:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real resize requires an image codec; run with "
-                    "deterministic_fake=True or swap this function"
-                )
-            n_bytes = max(1, target_w * target_h // 8)
             out_payload = []
             for p in pdf[payload_col]:
-                stream = b""
-                seed = bytes(p)
-                while len(stream) < n_bytes:
-                    seed = hashlib.sha256(seed).digest()
-                    stream += seed
-                out_payload.append(stream[:n_bytes])
+                try:
+                    px = decode_image(p)
+                except NotImplementedError:
+                    if not deterministic_fake:
+                        raise
+                    n_bytes = max(1, target_w * target_h // 8)
+                    stream, seed = b"", bytes(p)
+                    while len(stream) < n_bytes:
+                        seed = hashlib.sha256(seed).digest()
+                        stream += seed
+                    out_payload.append(stream[:n_bytes])
+                    continue
+                out_payload.append(
+                    encode_png(resize_pixels(px, target_w, target_h))
+                )
             out = pdf.copy()
             out["width"] = np.int32(target_w)
             out["height"] = np.int32(target_h)

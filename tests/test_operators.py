@@ -224,18 +224,42 @@ def test_media_features_shape_and_determinism(spark):
     assert a == b
 
 
-def test_resize_stub_plumbing(spark):
-    from pycorrector_spark.operators.multimodal import make_media_table, resize_image
+def test_resize_real_decode_resample_reencode(spark):
+    """Round 5: resize_image decodes (PNG/GIF/JPEG), nearest-neighbor
+    resamples, and re-encodes as PNG inside the Arrow batch — the fake
+    path is gone from the image route."""
+    from pycorrector_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        make_media_table,
+        media_rows,
+        resize_image,
+        resize_pixels,
+    )
 
     out = resize_image(make_media_table(spark, 8), 32, 32).collect()
     assert len(out) == 8
+    src = {i: payload for i, _m, _w, _h, payload in media_rows(8)}
     for r in out:
         assert (r["width"], r["height"]) == (32, 32)
-        assert len(r["payload"]) == 32 * 32 // 8
+        px = decode_png(bytes(r["payload"]))  # output is a REAL PNG
+        assert px.shape[:2] == (32, 32)
+        # pixel-exact vs the serial reference resample of the source
+        want = resize_pixels(decode_image(src[r["media_id"]]), 32, 32)
+        assert np.array_equal(px, want)
     # deterministic across runs
     again = resize_image(make_media_table(spark, 8), 32, 32).collect()
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
            {r["media_id"]: bytes(r["payload"]) for r in again}
+    # undecodable payloads raise loudly unless the disclosed fake is on
+    junk = spark.createDataFrame(
+        [(99, "audio/wav", 4, 4, bytearray(b"RIFFjunk"))],
+        "media_id long, mime string, width long, height long, payload binary",
+    )
+    with pytest.raises(Exception, match="codec"):
+        resize_image(junk, 8, 8).collect()
+    faked = resize_image(junk, 8, 8, deterministic_fake=True).collect()
+    assert len(faked[0]["payload"]) == 8 * 8 // 8
 
 
 def test_ivf_topk_recall_vs_exact(spark):
