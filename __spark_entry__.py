@@ -1236,6 +1236,18 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (round 5, REAL): multi-frame animated GIFs
+    decode through the full LZW+compositing path
+    (operators/multimodal.decode_gif_frames) and every 2nd frame (cap 4)
+    is emitted as a PNG-re-encoded sample keyed by md5 — real composited
+    pixels, not plan rows. Single-image rows exercise the 1-frame path.
+    Oracle = the same pure decode/sample/encode driver-side."""
+    from pycorrector_spark.operators.multimodal import frame_sample, make_video_table
+
+    return frame_sample(make_video_table(spark, 24), every_n=2, max_samples=4)
+
+
 # source/checkpoint dirs created by q_stream_dedup in this process (same
 # reap discipline as the IVF index dirs)
 _STREAM_DIRS: set = set()
@@ -2182,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_token_budget": q_token_budget,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
         # the dict (segmentation, OOV detect, correct, pipeline) changed
         # behavior and re-proves here
@@ -2575,6 +2588,38 @@ def _media_resize_oracle_sql() -> str:
     return (
         f"SELECT * FROM (VALUES {values}) "
         "t(media_id, mime, width, height, resized_md5)"
+    )
+
+
+def _media_frames_oracle_sql() -> str:
+    import hashlib as _hl
+
+    from pycorrector_spark.operators.multimodal import (
+        GIF_SIGNATURES,
+        decode_gif_frames,
+        decode_image,
+        encode_png,
+        video_rows,
+    )
+
+    out = []
+    for i, _mime, _nf, payload in video_rows(24):
+        frames = (
+            decode_gif_frames(payload)
+            if bytes(payload)[:6] in GIF_SIGNATURES
+            else [decode_image(payload)]
+        )
+        for k, fi in enumerate(range(0, len(frames), 2)):
+            if k >= 4:
+                break
+            fr = frames[fi]
+            out.append(
+                f"({i}, {fi}, {len(frames)}, {fr.shape[1]}, {fr.shape[0]}, "
+                f"{_sq(_hl.md5(encode_png(fr)).hexdigest())})"
+            )
+    return (
+        f"SELECT * FROM (VALUES {', '.join(out)}) "
+        "t(media_id, frame_index, n_frames, frame_w, frame_h, frame_md5)"
     )
 
 
@@ -3664,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_pipeline_full": _pipeline_full_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_resize": _media_resize_oracle_sql(),
+        "media_frames": _media_frames_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),

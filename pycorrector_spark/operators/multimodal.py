@@ -348,6 +348,200 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def encode_gif_animated(frames, palette: np.ndarray) -> bytes:
+    """Minimal animated GIF89a: one global color table, consecutive
+    full-frame image blocks (each preceded by a graphic-control
+    extension with disposal=1 'leave in place'). ``frames`` is a list of
+    (h, w) uint8 index arrays sharing one palette — the fixture
+    counterpart of decode_gif_frames."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one shape")
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    table_size = 1 << bits
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    for f in frames:
+        # GCE: disposal 1 (leave), no transparency, 4/100 s delay
+        out += b"\x21\xf9\x04" + bytes([0x04, 4, 0, 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        lzw = _gif_lzw_encode_uncompressed(f.ravel(), mcs)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i: i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list:
+    """Decode ALL frames of a (possibly animated) GIF, composited onto
+    the logical-screen canvas: sub-rectangle frames paint at their
+    (left, top) offset over the previous canvas (disposal 'leave in
+    place'; disposal 2 restores the region to the background color after
+    the frame); a GCE transparent index leaves the underlying canvas
+    visible. Returns a list of (h, w, 3) uint8 arrays — the real frame
+    source for the frame-sampling operator."""
+    data = bytes(data)
+    if data[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF (bad signature)")
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, size * 3, pos).reshape(size, 3)
+        pos += size * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames = []
+    transparent = None  # index from the pending GCE, if any
+    disposal = 0
+    try:
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                label = data[pos]
+                pos += 1
+                if label == 0xF9:  # graphic control extension
+                    blen = data[pos]
+                    flags = data[pos + 1]
+                    tindex = data[pos + 4]
+                    transparent = tindex if flags & 0x01 else None
+                    disposal = (flags >> 2) & 0x07
+                    pos += 1 + blen
+                    while data[pos]:
+                        pos += 1 + data[pos]
+                    pos += 1
+                else:
+                    while data[pos]:
+                        pos += 1 + data[pos]
+                    pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{block:02x}")
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", data[pos: pos + 9]
+            )
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, np.uint8, size * 3, pos).reshape(size, 3)
+                pos += size * 3
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw.extend(data[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            rows = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if ipacked & 0x40:
+                order = [y for start, step in _GIF_INTERLACE_PASSES
+                         for y in range(start, ih, step)]
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            if rows.max() >= len(table):
+                raise ValueError("GIF index outside color table")
+            region = canvas[top:top + ih, left:left + iw]
+            painted = table[rows]
+            if transparent is not None:
+                mask = rows != transparent
+                region[mask] = painted[mask]
+            else:
+                region[:] = painted
+            frames.append(canvas.copy())
+            if disposal == 2 and gct is not None and bg < len(gct):
+                canvas[top:top + ih, left:left + iw] = gct[bg]
+            transparent = None
+            disposal = 0
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF truncated or malformed: {e}") from e
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
+
+
+def frame_count(payload: bytes) -> int:
+    """Number of frames: GIF payloads count image blocks for real;
+    single-image media (PNG/JPEG) is one frame."""
+    p = bytes(payload)
+    if p[:6] in GIF_SIGNATURES:
+        return len(decode_gif_frames(p))
+    return 1
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    max_samples: int = 10,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling (round 5; replaces frame_sample_stub's plan
+    rows): decode the container, emit every ``every_n``-th frame (capped
+    at ``max_samples``) as (media_id, frame_index, n_frames, frame_w,
+    frame_h, frame_md5) — the md5 is of the sampled frame re-encoded as
+    PNG, so downstream stages receive real single-image payloads.
+    Animated GIFs yield real composited frames; single-image media
+    yields frame 0. One Arrow batch function, no driver collect."""
+    import hashlib as _hl
+
+    def fn(it):
+        for pdf in it:
+            rows = {
+                "media_id": [], "frame_index": [], "n_frames": [],
+                "frame_w": [], "frame_h": [], "frame_md5": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                p = bytes(p)
+                if p[:6] in GIF_SIGNATURES:
+                    frames = decode_gif_frames(p)
+                else:
+                    frames = [decode_image(p)]
+                for k, fi in enumerate(range(0, len(frames), every_n)):
+                    if k >= max_samples:
+                        break
+                    fr = frames[fi]
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(fi)
+                    rows["n_frames"].append(len(frames))
+                    rows["frame_h"].append(fr.shape[0])
+                    rows["frame_w"].append(fr.shape[1])
+                    rows["frame_md5"].append(
+                        _hl.md5(encode_png(fr)).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        fn,
+        "media_id long, frame_index long, n_frames long, "
+        "frame_w long, frame_h long, frame_md5 string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # JPEG codec (baseline sequential DCT, ITU-T T.81; JFIF color space)
 #
@@ -909,6 +1103,42 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def video_rows(n: int = 24, seed: int = 99) -> list:
+    """Deterministic 'video' rows: real multi-frame animated GIFs (3-10
+    full frames through the LZW encoder) standing in for video
+    containers, plus a few single-image rows so the sampler's 1-frame
+    path is covered. Pure function shared by make_video_table and the
+    driver-side oracle precompute."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        pw, ph = int(rng.integers(6, 20)), int(rng.integers(6, 20))
+        if i % 4 == 3:  # single-image row (png)
+            px = ((np.arange(ph)[:, None, None] * 3
+                   + np.arange(pw)[None, :, None] * 7
+                   + np.arange(3) * 13) % 256).astype(np.uint8)
+            rows.append((i, "image/png", 1, encode_png(px)))
+            continue
+        n_frames = int(rng.integers(3, 11))
+        n_colors = int(rng.integers(2, 17))
+        palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, n_colors, size=(ph, pw), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        rows.append((i, "image/gif", n_frames, encode_gif_animated(frames, palette)))
+    return rows
+
+
+def make_video_table(spark, n: int = 24, seed: int = 99) -> DataFrame:
+    """(media_id, mime, n_frames, payload) — animated-GIF fixture table
+    for the frame-sampling operator."""
+    pdf = pd.DataFrame(
+        video_rows(n, seed), columns=["media_id", "mime", "n_frames", "payload"]
+    )
+    return spark.createDataFrame(pdf)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic pseudo-features: sha256-seeded uniform vector (the
     disclosed stub path for mime types without an in-sandbox codec)."""
@@ -1055,10 +1285,9 @@ def resize_image(
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 10, max_samples: int = 10) -> DataFrame:
-    """Video frame-sampling stub: emits (media_id, frame_index) plan rows
-    for every ``every_n``-th frame (0, every_n, 2*every_n, ...), capped at
-    ``max_samples`` — the real sampler (which knows the true frame count
-    from the decoded container) slots into the same shape."""
+    """SUPERSEDED by frame_sample (round 5, real container decode) —
+    kept only as the plan-shape reference: emits (media_id, frame_index)
+    rows for every ``every_n``-th frame without decoding."""
     return df.select(
         "media_id",
         F.explode(

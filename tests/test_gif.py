@@ -120,3 +120,75 @@ def test_media_features_real_gif_path():
     px = palette[idx].astype(np.float64).reshape(-1, 3)
     assert feats[3] == pytest.approx(px.mean())
     assert np.array_equal(feats, gif_features(g))
+
+
+def test_animated_gif_frames_roundtrip():
+    """Round 5: multi-frame encode -> decode_gif_frames gives every frame
+    pixel-exact; decode_gif still returns the first frame."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+        frame_count,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (9, 6), dtype=np.uint8) for _ in range(5)]
+    g = encode_gif_animated(frames, pal)
+    out = decode_gif_frames(g)
+    assert len(out) == 5 and frame_count(g) == 5
+    for f_in, f_out in zip(frames, out):
+        assert np.array_equal(pal[f_in], f_out)
+    assert np.array_equal(decode_gif(g), pal[frames[0]])
+
+
+def test_animated_gif_transparency_composites_over_previous_frame():
+    """A GCE transparent index must leave the previous canvas visible —
+    the compositing rule real animated GIFs rely on."""
+    import struct as _st
+
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    f1 = np.full((4, 4), 1, dtype=np.uint8)          # all red
+    f2 = np.zeros((4, 4), dtype=np.uint8)            # index 0 everywhere
+    f2[0, 0] = 2                                     # one green pixel
+    g = bytearray(encode_gif_animated([f1, f2], pal))
+    # flip the SECOND frame's GCE to "transparent, index 0": find the 2nd
+    # GCE (0x21 0xF9 0x04 flags delay delay tindex 0x00)
+    first = g.find(b"\x21\xf9\x04")
+    second = g.find(b"\x21\xf9\x04", first + 1)
+    g[second + 3] |= 0x01          # transparency flag
+    g[second + 6] = 0              # transparent index 0
+    out = decode_gif_frames(bytes(g))
+    assert len(out) == 2
+    # frame 2: index-0 pixels transparent -> red shows through; (0,0) green
+    want = np.full((4, 4, 3), [200, 0, 0], dtype=np.uint8)
+    want[0, 0] = [0, 200, 0]
+    assert np.array_equal(out[1], want)
+
+
+def test_frame_sample_real_frames(spark):
+    from pycorrector_spark.operators.multimodal import (
+        frame_sample,
+        make_video_table,
+        video_rows,
+    )
+
+    rows = frame_sample(make_video_table(spark, 12), every_n=2, max_samples=4).collect()
+    truth = {i: nf for i, _m, nf, _p in video_rows(12)}
+    by_media = {}
+    for r in rows:
+        assert r["n_frames"] == truth[r["media_id"]]
+        assert r["frame_index"] % 2 == 0
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    for mid, idxs in by_media.items():
+        assert len(idxs) == min(4, (truth[mid] + 1) // 2)
+        assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))
