@@ -1236,6 +1236,37 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_media_audio(spark, sf_dir):
+    """Audio decode stage (round 5, REAL): PCM WAVs (mono/stereo,
+    seeded sine mixtures) decode through the pure RIFF/WAVE parser
+    (operators/multimodal.decode_wav) into duration/rate/signal
+    statistics — the audio sibling of media_features, same Arrow-batched
+    shape. Compressed audio stays the disclosed fake boundary (not on
+    this gated path). Oracle = same pure functions driver-side."""
+    import pandas as pd
+    from pycorrector_spark.operators.multimodal import (
+        audio_features,
+        make_audio_table,
+    )
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "features": [
+                        ",".join(repr(float(x)) for x in audio_features(p))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return make_audio_table(spark, 24).mapInPandas(
+        fn, "media_id long, mime string, features string"
+    )
+
+
 def q_media_frames(spark, sf_dir):
     """Video frame sampling (round 5, REAL): multi-frame animated GIFs
     decode through the full LZW+compositing path
@@ -2195,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
         # the dict (segmentation, OOV detect, correct, pipeline) changed
         # behavior and re-proves here
@@ -2589,6 +2621,17 @@ def _media_resize_oracle_sql() -> str:
         f"SELECT * FROM (VALUES {values}) "
         "t(media_id, mime, width, height, resized_md5)"
     )
+
+
+def _media_audio_oracle_sql() -> str:
+    from pycorrector_spark.operators.multimodal import audio_features, audio_rows
+
+    values = ", ".join(
+        f"({i}, {_sq(mime)}, "
+        f"{_sq(','.join(repr(float(x)) for x in audio_features(payload)))})"
+        for i, mime, _rate, payload in audio_rows(24)
+    )
+    return f"SELECT * FROM (VALUES {values}) t(media_id, mime, features)"
 
 
 def _media_frames_oracle_sql() -> str:
@@ -3710,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle_sql(),
         "media_resize": _media_resize_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),
+        "media_audio": _media_audio_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),

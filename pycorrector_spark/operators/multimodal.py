@@ -543,6 +543,129 @@ def frame_sample(
 
 
 # ---------------------------------------------------------------------------
+# WAV codec (RIFF/WAVE PCM) — real audio decode, round 5. Covers the
+# dominant raw-audio container with zero dependencies: PCM 8/16/32-bit
+# int and 32/64-bit float, any channel count, chunk-walking parser
+# (tolerates LIST/fact/cue chunks). Compressed formats (mp3/aac/ogg)
+# stay behind the disclosed deterministic_fake boundary.
+# ---------------------------------------------------------------------------
+
+_WAV_PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+_WAV_FLOAT_DTYPES = {32: np.dtype("<f4"), 64: np.dtype("<f8")}
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer for (n,) or (n, channels) float
+    samples in [-1, 1] — the fixture generator's counterpart of
+    decode_wav (round trip is test-enforced to int16 quantization)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.reshape(-1).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    out = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return out
+
+
+def decode_wav(data: bytes):
+    """RIFF/WAVE decode -> (samples float64 (n, channels) in [-1, 1],
+    sample_rate). PCM int 8/16/32 and IEEE float 32/64; walks chunks so
+    files with LIST/fact metadata parse. Compressed codecs raise."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    body = None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4: pos + 8])
+        chunk = data[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if tag == 0xFFFE and len(chunk) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                (tag,) = struct.unpack("<H", chunk[24:26])
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            body = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, bits = fmt
+    if tag == 1 and bits in _WAV_PCM_DTYPES:
+        raw = np.frombuffer(body, dtype=_WAV_PCM_DTYPES[bits])
+        if bits == 8:  # unsigned with 128 bias
+            s = (raw.astype(np.float64) - 128.0) / 128.0
+        else:
+            s = raw.astype(np.float64) / float(2 ** (bits - 1))
+    elif tag == 3 and bits in _WAV_FLOAT_DTYPES:
+        s = np.frombuffer(body, dtype=_WAV_FLOAT_DTYPES[bits]).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag}/{bits}-bit is not raw PCM; compressed "
+            "audio needs ffmpeg — use deterministic_fake or a real codec"
+        )
+    n = (len(s) // ch) * ch
+    return s[:n].reshape(-1, ch), rate
+
+
+def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL audio features from a decoded WAV: duration/rate/channels +
+    deterministic signal statistics (rms, peak, zero-crossing rate,
+    per-half energies) zero-padded to the feature width — the audio
+    sibling of png/gif/jpeg_features, shared with the oracle."""
+    samples, rate = decode_wav(payload)
+    n, ch = samples.shape
+    mono = samples.mean(axis=1)
+    half = max(1, n // 2)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n > 1 else 0.0
+    feats = [
+        float(n), float(rate), float(ch),
+        float(n) / float(rate) if rate else 0.0,
+        float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+        float(np.max(np.abs(mono))) if n else 0.0,
+        zc,
+        float(np.sqrt(np.mean(mono[:half] ** 2))) if n else 0.0,
+        float(np.sqrt(np.mean(mono[half:] ** 2))) if n > half else 0.0,
+        float(mono.mean()) if n else 0.0,
+    ]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return np.asarray(feats, dtype=np.float64)
+
+
+def audio_rows(n: int = 24, seed: int = 7) -> list:
+    """Deterministic audio rows (media_id, mime, rate, payload): real
+    PCM16 WAVs — seeded sine mixtures + noise, mono and stereo. Pure
+    function shared with the driver-side oracle."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = int(rng.choice([8000, 16000, 22050]))
+        dur = int(rng.integers(200, 2000))  # samples, keep payloads small
+        ch = 2 if i % 3 == 0 else 1
+        t = np.arange(dur) / rate
+        f0 = float(rng.uniform(80, 2000))
+        sig = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(dur)
+        if ch == 2:
+            sig = np.stack([sig, 0.5 * np.sin(2 * np.pi * 2 * f0 * t)], axis=1)
+        rows.append((i, "audio/wav", rate, encode_wav(np.clip(sig, -1, 1), rate)))
+    return rows
+
+
+def make_audio_table(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    pdf = pd.DataFrame(
+        audio_rows(n, seed), columns=["media_id", "mime", "rate", "payload"]
+    )
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
 # JPEG codec (baseline sequential DCT, ITU-T T.81; JFIF color space)
 #
 # Round-4 verdict ask #6: the jpeg third of the media table was the last
@@ -1177,11 +1300,14 @@ def media_features(payload: bytes, deterministic_fake: bool = False) -> np.ndarr
         return gif_features(p)
     if p.startswith(b"\xff\xd8"):
         return jpeg_features(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return audio_features(p)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PNG, GIF and baseline JPEG decode in this container "
-            "(pure-Python codecs); other media needs PIL/opencv/ffmpeg — "
-            "run with deterministic_fake=True or swap in a codec"
+            "only PNG, GIF, baseline JPEG and PCM WAV decode in this "
+            "container (pure-Python codecs); other media needs "
+            "PIL/opencv/ffmpeg — run with deterministic_fake=True or "
+            "swap in a codec"
         )
     return _fake_features(p)
 
