@@ -684,6 +684,21 @@ def run_opscale(sf_dir: str, cpus: int, scales: tuple = (2, 8)) -> dict:
         )
         return decontaminate(d, bench, n=8)
 
+    def op_token_budget(d):
+        from pycorrector_spark.operators.curation import select_token_budget
+
+        # budget >> corpus keeps every row: the cumsum machinery still
+        # touches each row exactly once, which is what linearity audits
+        return select_token_budget(
+            d.select(
+                "doc_id",
+                (F.length("text") % 64).alias("score"),
+                F.length("text").alias("toks"),
+            ),
+            budget=1 << 60, score_col="score", tokens_col="toks",
+            id_col="doc_id",
+        )
+
     ops = {
         "dedup_exact": op_exact,
         "dedup_substr": op_substr,
@@ -691,6 +706,7 @@ def run_opscale(sf_dir: str, cpus: int, scales: tuple = (2, 8)) -> dict:
         "dedup_jaccard": op_jaccard,
         "nb_fit_score": op_nb,
         "decontaminate": op_decon,
+        "token_budget": op_token_budget,
     }
     results = {}
     for k in scales:
