@@ -1515,13 +1515,68 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d, bench, n=DECON_N)
 
 
-def _decontaminate_oracle_sql() -> str:
+def q_curation_e2e(spark, sf_dir):
+    """END-TO-END curation composite (round 5): the cross-document
+    stages a training-data pipeline chains — exact dedup (keep-min-id),
+    Gopher repetition/structure gate, benchmark decontamination — fused
+    into one DataFrame with a per-document keep decision and the reason
+    bits. Plan shape: ONE hash-agg shuffle (dedup winners) + one
+    broadcast-dim semi join (bench n-grams) + pure-JVM Gopher arrays;
+    the corpus is scanned once per stage with no O(n^2) anywhere.
+    Oracle: the same three stages as one DuckDB CTE chain, reusing the
+    per-stage fragments (so the composite cannot drift from the
+    individually-gated stages)."""
+    from pycorrector_spark.operators.curation import decontaminate
+    from pycorrector_spark.operators.dedup import exact_dedup_groups
+    from pycorrector_spark.operators.webrules import with_gopher_columns
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    keepers = exact_dedup_groups(d).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    gop = with_gopher_columns(
+        d.select("doc_id", F.coalesce("text", F.lit("")).alias("page_text"))
+    ).select("doc_id", "gopher_keep")
+    words = F.filter(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[ \t\n\r]+"),
+        lambda x: x != F.lit(""),
+    )
+    bench = (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_RES)
+        .select(F.array_join(F.slice(words, 1, DECON_BENCH_WORDS), " ").alias("text"))
+    )
+    dec = decontaminate(d, bench, n=DECON_N).select(
+        "doc_id", "contaminated_ngrams"
+    )
+    is_dup = F.col("text").isNotNull() & F.coalesce(
+        ~F.col("is_keeper"), F.lit(True)
+    )
+    return (
+        d.join(keepers, "doc_id", "left")
+        .join(gop, "doc_id")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id",
+            is_dup.alias("is_dup"),
+            "gopher_keep",
+            "contaminated_ngrams",
+            (
+                ~is_dup & F.col("gopher_keep")
+                & (F.col("contaminated_ngrams") == 0)
+            ).alias("keep"),
+        )
+    )
+
+
+def _decon_ctes() -> str:
+    """The decontamination CTE chain (dw .. hits) — shared by the
+    standalone qf_decontaminate oracle and the curation_e2e composite."""
     g = (
         "('0x' || substr(md5(array_to_string(ws[i:i+{last}], ' ')), 1, 15))::BIGINT"
     ).format(last=DECON_N - 1)
     rng = f"range(1, len(ws) - {DECON_N - 2})"
     return f"""
-        WITH dw AS (
+        dw AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(coalesce(text, '')),
                                                    '[ \t\n\r]+'),
@@ -1543,11 +1598,43 @@ def _decontaminate_oracle_sql() -> str:
         hits AS (
           SELECT doc_id, count(*) AS c
           FROM doc_grams JOIN bench_grams USING (gh) GROUP BY doc_id
-        )
+        )"""
+
+
+def _decontaminate_oracle_sql() -> str:
+    return f"""
+        WITH {_decon_ctes()}
         SELECT d.doc_id,
                coalesce(h.c, 0) AS contaminated_ngrams,
                coalesce(h.c, 0) = 0 AS keep
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _curation_e2e_oracle_sql() -> str:
+    """The three stage fragments chained exactly as the Spark composite
+    joins them: dedup winners + Gopher gate (over raw text) + the shared
+    decontamination CTEs."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS page_text, text FROM documents
+        ),
+        win AS (
+          SELECT min(doc_id) AS keeper FROM documents
+          WHERE text IS NOT NULL GROUP BY md5(text)
+        ),
+        {_decon_ctes()}
+        {_gopher_frag("base")}
+        SELECT b.doc_id,
+               (b.text IS NOT NULL AND w.keeper IS NULL) AS is_dup,
+               g.gopher_keep,
+               coalesce(h.c, 0) AS contaminated_ngrams,
+               (NOT (b.text IS NOT NULL AND w.keeper IS NULL)
+                AND g.gopher_keep AND coalesce(h.c, 0) = 0) AS keep
+        FROM base b
+        LEFT JOIN win w ON w.keeper = b.doc_id
+        JOIN gkeep g USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
     """
 
 
@@ -2227,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
+        "qf_curation_e2e": q_curation_e2e,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
         # the dict (segmentation, OOV detect, correct, pipeline) changed
         # behavior and re-proves here
@@ -3754,6 +3842,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_resize_oracle_sql(),
         "media_frames": _media_frames_oracle_sql(),
         "media_audio": _media_audio_oracle_sql(),
+        "qf_curation_e2e": _curation_e2e_oracle_sql(),
         "eval_f1": _eval_f1_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
