@@ -378,3 +378,40 @@ def test_domain_mix_realizes_proportions(spark):
              domain_mix(df, {"web": 0.6, "news": 0.3, "wiki": 0.1})
              .groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert again == got
+
+
+def test_curation_e2e_null_text_and_reason_bits(spark):
+    """The composite keep decision: NULL-text docs are never 'dups'
+    (md5(NULL) carries no equality) but fail the Gopher gate; an exact
+    duplicate keeps only its min-id copy; a doc sharing an 8-gram with
+    the synthetic benchmark is dropped as contaminated."""
+    import __spark_entry__ as E
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field with steady even pace today " * 6)
+    rows = []
+    for i in range(40):
+        if i == 7 or i == 24:
+            rows.append((i, base))            # exact duplicate pair
+        elif i == 30:
+            rows.append((i, None))            # NULL text
+        else:
+            rows.append((i, base.replace("fox", f"fox{i}")))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="e2e_docs_")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in E.queries()["qf_curation_e2e"](spark, d).collect()}
+    assert len(out) == 40
+    assert not out[7]["is_dup"] and out[24]["is_dup"]       # min id wins
+    assert not out[24]["keep"]
+    assert not out[30]["is_dup"] and not out[30]["gopher_keep"]
+    # doc_id % 17 == 3 seeds the benchmark with its own first words ->
+    # the seed doc itself is contaminated by construction
+    assert out[3]["contaminated_ngrams"] > 0 and not out[3]["keep"]

@@ -305,3 +305,44 @@ def test_word_ngram_hash_count(text, n):
     ]
     assert len(grams) == expect
     assert len(set(grams)) <= max(1, expect)
+
+
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+                       width=32),
+             min_size=1, max_size=400),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(vals, ch, rate):
+    """Any float signal in [-1,1] survives encode_wav/decode_wav to
+    within PCM16 quantization, preserving shape and rate."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import decode_wav, encode_wav
+
+    n = len(vals) - (len(vals) % ch) or ch
+    s = np.asarray((vals * ch)[:n * ch], dtype=np.float64).reshape(n, ch)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and out.shape == (n, ch)
+    assert np.abs(out - s).max() <= 2.0 / 32768
+
+
+@given(st.integers(2, 9), st.integers(2, 12), st.integers(2, 16),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_shape_property(h, w, ncolors, seed):
+    """encode_jpeg/decode_jpeg preserve shape/dtype for arbitrary small
+    RGB images (444 and 420), and encoding is deterministic."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        data = encode_jpeg(px, subsampling=sub)
+        assert data == encode_jpeg(px, subsampling=sub)
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
