@@ -322,8 +322,9 @@ def test_wav_roundtrip_property(vals, ch, rate):
 
     from pycorrector_spark.operators.multimodal import decode_wav, encode_wav
 
-    n = len(vals) - (len(vals) % ch) or ch
-    s = np.asarray((vals * ch)[:n * ch], dtype=np.float64).reshape(n, ch)
+    n = max(1, len(vals) // ch)
+    flat = (vals * (ch * n))[: n * ch]  # tile the draw out to n*ch values
+    s = np.asarray(flat, dtype=np.float64).reshape(n, ch)
     out, r = decode_wav(encode_wav(s, rate))
     assert r == rate and out.shape == (n, ch)
     assert np.abs(out - s).max() <= 2.0 / 32768
