@@ -1806,6 +1806,59 @@ def q_rel_top_nations(spark, sf_dir):
     )
 
 
+def q_rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-way join filtered on
+    segment/date windows, revenue agg per order, deterministic top-10.
+    Catalyst pushes the segment/date predicates into the scans and
+    broadcasts the filtered customer side; per-term DECIMAL(18,2) casts
+    make the revenue sum partition-order independent (exact decimal
+    addition), so the hash oracle holds on any parallelism."""
+    c = _tbl(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_rel_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table join where the
+    customer and the supplier share a nation, revenue per nation within
+    one region. nation/region are broadcast dims; the supplier join
+    carries the co-nation equi-condition so no post-join filter blows up
+    the intermediate."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def q_rel_bucketed_join(spark, sf_dir):
     """Revenue per customer nation through BUCKETED catalog tables: both
     sides are persisted pre-hash-partitioned and pre-sorted on the
@@ -2315,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         "qf_curation_e2e": q_curation_e2e,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_local_supplier": q_rel_local_supplier,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
         # the dict (segmentation, OOV detect, correct, pipeline) changed
         # behavior and re-proves here
@@ -3896,6 +3951,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_shipping_priority": """
+            SELECT l_orderkey,
+                   sum((l_extendedprice*(1-l_discount))::DECIMAL(18,2))::DOUBLE AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "rel_local_supplier": """
+            SELECT n_name,
+                   sum((l_extendedprice*(1-l_discount))::DECIMAL(18,2))::DOUBLE AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                                       AND c_nationkey = s_nationkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "rel_top_nations": """
             SELECT n_name,
