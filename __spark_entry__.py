@@ -1611,6 +1611,7 @@ def _decontaminate_oracle_sql() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)
 def _curation_e2e_oracle_sql() -> str:
     """The three stage fragments chained exactly as the Spark composite
     joins them: dedup winners + Gopher gate (over raw text) + the shared
@@ -2399,9 +2400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "qf_decontaminate": q_decontaminate,
         "qf_corpus_rollup": q_corpus_rollup,
-        "zh_segment_pos": q_zh_segment_pos,
-        "resume_pipeline": q_resume_pipeline,
-        "stream_pipeline": q_stream_pipeline,
         "qf_domain_mix": q_domain_mix,
         "dedup_substr": q_substr_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -2415,13 +2413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_line_dedup": q_line_dedup,
         "nb_langid": q_nb_langid,
         "dsir_select": q_dsir_select,
-        "zh_segment": q_zh_segment,
-        "zh_segment_hmm": q_zh_segment_hmm,
         "qf_lm_ppl": q_lm_ppl,
         "qf_lm_ppl_binary": q_lm_ppl_binary,
         "qf_ccnet_buckets": q_ccnet_buckets,
-        "qf_pipeline_full": q_pipeline_full,
-        "qf_pipeline_pool": q_pipeline_pool,
         "qf_gopher_rules": q_gopher_rules,
         "qf_top_ngram": q_top_ngram,
         "qf_c4_filter": q_c4_filter,
@@ -2626,6 +2620,7 @@ def _qf_lm_ppl_oracle_sql() -> str:
     return _pool_oracle_sql(len(PPL_POOL), ["ppl"], rows)
 
 
+@functools.lru_cache(maxsize=None)
 def _qf_lm_ppl_klm_oracle_sql() -> str:
     """Serial scoring through the SAME decoded genuine-KenLM model the
     Spark stage broadcasts — frexp literals, bitwise-equal by shared
@@ -2766,6 +2761,7 @@ def _media_resize_oracle_sql() -> str:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _media_audio_oracle_sql() -> str:
     from pycorrector_spark.operators.multimodal import audio_features, audio_rows
 
@@ -2777,6 +2773,7 @@ def _media_audio_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) t(media_id, mime, features)"
 
 
+@functools.lru_cache(maxsize=None)
 def _media_frames_oracle_sql() -> str:
     import hashlib as _hl
 
@@ -2809,6 +2806,7 @@ def _media_frames_oracle_sql() -> str:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _media_features_oracle_sql() -> str:
     from pycorrector_spark.operators.multimodal import media_features, media_rows
 

@@ -242,13 +242,16 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
         "cpus": cpus,
         "n_docs": n_docs,
         # per-query throughput for document-table queries (docs/sec over
-        # the sf corpus); rel_*/ann_*/zh_*/en_* read other tables so a
-        # docs/s figure would be meaningless for them
+        # the sf corpus); rel_*/ann_*/zh_*/en_*/media_*/stream_* read
+        # other tables (TPC-H, embeddings, sentence pools, fixture
+        # media), so a docs/s figure would be meaningless for them
         "queries_docs_per_sec": {
             name: round(n_docs / sec, 1)
             for name, sec in timings.items()
             if sec > 0
-            and not name.startswith(("rel_", "ann_", "zh_", "en_"))
+            and not name.startswith(
+                ("rel_", "ann_", "zh_", "en_", "media_", "stream_")
+            )
         },
         # 2nd-fastest / fastest sample per query — ~1.0 means the minimum
         # is reproducible, large values flag residual host noise
@@ -402,9 +405,11 @@ def run_tb_skew(sf_dir: str, cpus: int, replicate: int = 200) -> dict:
         docs.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
         .select(
             (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
-            # 80% of rows score 7 (the hot value), the rest spread 1..5
+            # 80% of rows score 7 (the hot value); the remaining 20%
+            # (doc_id % 5 == 0) spread over scores 1..4 via % 4 so the
+            # range partitioner also has multiple cold scores to split
             F.when((F.col("doc_id") % 5) != 0, F.lit(7))
-            .otherwise(F.col("doc_id") % 5 + 1).alias("score"),
+            .otherwise(F.col("doc_id") % 4 + 1).alias("score"),
             F.lit(2).alias("toks"),
         )
     )

@@ -163,7 +163,17 @@ def select_token_budget(
         pid = TaskContext.get().partitionId()
         carry = 0
         for pdf in batches:
-            cum = pdf[tokens_col].astype("int64").cumsum() + carry
+            toks = pdf[tokens_col].astype("int64")
+            # the offsets step reads max(_local_cum) as "this partition's
+            # final running total", which only equals the last row under
+            # non-negative counts — fail loudly rather than silently
+            # dropping rows the prefix contract keeps
+            if (toks < 0).any():
+                raise ValueError(
+                    f"select_token_budget: negative {tokens_col!r} values; "
+                    "token counts must be non-negative"
+                )
+            cum = toks.cumsum() + carry
             if len(cum):
                 carry = int(cum.iloc[-1])
             pdf = pdf.assign(_pid=pid, _local_cum=cum.astype("int64"))

@@ -969,6 +969,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
+    try:
+        return _decode_jpeg_body(data)
+    except (IndexError, KeyError, struct.error) as e:
+        # same contract as decode_png/decode_gif: malformed bytes raise
+        # ValueError, never a bare container-parsing exception
+        raise ValueError(f"JPEG truncated or malformed: {e!r}") from e
+
+
+def _decode_jpeg_body(data: bytes) -> np.ndarray:
     pos = 2
     qtables, htables = {}, {}
     frame = None
@@ -1072,16 +1081,20 @@ def _decode_scan(frame, qtables, htables, scan_map, ecs, rst_breaks,
     reader = _BitReader(ecs)
     preds = [0] * len(comps)
     mcu_i = 0
-    breaks = set(rst_breaks)
+    rst_iter = iter(rst_breaks)
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                # RST boundary: byte-align onto the recorded break offset
-                reader.align()
+                # RST boundary: resynchronize onto the RECORDED marker
+                # offset (the marker positions exist precisely so a bit
+                # drift inside one interval cannot desync the rest);
+                # fall back to byte alignment if the writer omitted one
                 preds = [0] * len(comps)
-                if reader.pos not in breaks and breaks:
-                    # tolerate writers that omit trailing markers
-                    pass
+                nxt = next(rst_iter, None)
+                if nxt is not None:
+                    reader.pos, reader.bit = nxt, 0
+                else:
+                    reader.align()
             for ci, c in enumerate(comps):
                 dc_t = htables[(0, scan_map[c["id"]][0])]
                 ac_t = htables[(1, scan_map[c["id"]][1])]

@@ -537,7 +537,11 @@ def cosine_near_dup(
     lineage once just to pick a code path."""
     n = df.limit(exact_limit + 1).count()
     if n <= exact_limit:
-        return cosine_near_dup_pairs(df, id_col, vec_col, threshold)
+        # forward the caller's limit so the inner guard agrees with the
+        # dispatch decision (a raised exact_limit must reach the GEMM path)
+        return cosine_near_dup_pairs(
+            df, id_col, vec_col, threshold, exact_limit=exact_limit
+        )
     return cosine_near_dup_pairs_bucketed(df, id_col, vec_col, threshold, **lsh_kwargs)
 
 
