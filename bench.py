@@ -86,6 +86,11 @@ def bench_queries():
         "qf_decontaminate": q["qf_decontaminate"],
         "qf_corpus_rollup": q["qf_corpus_rollup"],
         "qf_domain_mix": q["qf_domain_mix"],
+        # round-5 additions (per-query r4 comparisons remain valid; the
+        # headline total gains these entries)
+        "qf_curation_e2e": q["qf_curation_e2e"],
+        "qf_lm_ppl_klm": q["qf_lm_ppl_klm"],
+        "media_features": q["media_features"],
         "rel_bucketed_join": q["rel_bucketed_join"],
         "dedup_exact": q["dedup_exact"],
         "dedup_substr": q["dedup_substr"],
