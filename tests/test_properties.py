@@ -347,3 +347,45 @@ def test_jpeg_roundtrip_shape_property(h, w, ncolors, seed):
         assert data == encode_jpeg(px, subsampling=sub)
         out = decode_jpeg(data)
         assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+@given(st.integers(2, 10), st.integers(2, 10), st.integers(1, 6),
+       st.integers(2, 8), st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_animated_gif_frames_property(h, w, n_frames, n_colors, seed):
+    """Any frame stack through encode_gif_animated/decode_gif_frames
+    round-trips pixel-exact with the frame count preserved."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    frames = [rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+              for _ in range(n_frames)]
+    out = decode_gif_frames(encode_gif_animated(frames, pal))
+    assert len(out) == n_frames
+    for f_in, f_out in zip(frames, out):
+        assert np.array_equal(pal[f_in], f_out)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 24),
+       st.integers(1, 24))
+@settings(max_examples=60, deadline=None)
+def test_resize_pixels_property(h, w, th, tw):
+    """Nearest-neighbor resample: exact target shape, every output pixel
+    is SOME input pixel, and identity when dims match."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import resize_pixels
+
+    px = (np.arange(h * w * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w, 3)
+    out = resize_pixels(px, tw, th)
+    assert out.shape == (th, tw, 3)
+    flat_in = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+    if (th, tw) == (h, w):
+        assert np.array_equal(out, px)
