@@ -365,19 +365,27 @@ def _eventlog_spark(cpus: int, name: str):
     return spark, evdir
 
 
-def _task_histogram(evdir: str) -> dict:
+def _task_histogram(evdir: str, job_group: str = None) -> dict:
     """max/p50 task duration of the heaviest stage, from TaskEnd events;
-    removes the event-log dir afterwards."""
+    with ``job_group``, only stages of jobs submitted under that
+    setJobGroup id are candidates. Removes the event-log dir afterwards."""
     import glob
     import shutil
 
     stages: dict = {}
+    group_stages: set = set()
     paths = [p for p in glob.glob(f"{evdir}/**", recursive=True)
              if os.path.isfile(p)
              and os.path.basename(p).startswith(("events", "local-"))]
     for path in paths:
         with open(path, errors="ignore") as f:
             for line in f:
+                if '"Event":"SparkListenerJobStart"' in line:
+                    ev = json.loads(line)
+                    props = ev.get("Properties") or {}
+                    if job_group and props.get("spark.jobGroup.id") == job_group:
+                        group_stages.update(ev.get("Stage IDs", []))
+                    continue
                 if '"Event":"SparkListenerTaskEnd"' not in line:
                     continue
                 ev = json.loads(line)
@@ -385,6 +393,11 @@ def _task_histogram(evdir: str) -> dict:
                 dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
                 stages.setdefault(ev.get("Stage ID"), []).append(dur)
     shutil.rmtree(evdir, ignore_errors=True)
+    if job_group and group_stages:
+        # keep only stages submitted by the MEASURED jobs — otherwise the
+        # heaviest-stage pick can land on a fixture-build/count stage and
+        # the balance metric measures the wrong thing
+        stages = {sid: d for sid, d in stages.items() if sid in group_stages}
     heaviest = max(stages.values(), key=sum) if stages else [0]
     heaviest.sort()
     p50 = heaviest[len(heaviest) // 2]
@@ -420,13 +433,17 @@ def run_tb_skew(sf_dir: str, cpus: int, replicate: int = 200) -> dict:
     )
     n = big.count()
     budget = n  # keeps ~half the rows; boundary lands inside the hot score
+    # the histogram must measure the OPERATOR's stages (prefix-sum runs
+    # its internal jobs eagerly inside select_token_budget), not the
+    # fixture count/warm-up above — scope them with a job group
+    spark.sparkContext.setJobGroup("measured", "tbskew measured operator")
     out = select_token_budget(big, budget, "score", "toks", "doc_id")
     t0 = time.time()
     kept = out.count()
     wall = round(time.time() - t0, 3)
     release_cached(out)
     spark.stop()
-    hist = _task_histogram(evdir)
+    hist = _task_histogram(evdir, job_group="measured")
     return {
         "metric": "token_budget_skew_task_balance",
         "value": round(hist["max"] / max(hist["p50"], 1), 2),
@@ -484,13 +501,18 @@ def run_para_skew(sf_dir: str, cpus: int, hot_frac: float = 0.10,
     plan = out._jdf.queryExecution().executedPlan().toString()
     sort_agg = "SortAggregate" in plan
     _materialize(out)  # warm-up
+    # only the timed second materialization is histogram-eligible — the
+    # warm-up and the fixture count would otherwise compete for the
+    # heaviest-stage pick
+    spark.sparkContext.setJobGroup("measured", "paraskew measured operator")
     t0 = time.time()
     _materialize(out)
     wall = round(time.time() - t0, 3)
+    spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
     n_rows = big.count()
     spark.stop()
 
-    hist = _task_histogram(evdir)
+    hist = _task_histogram(evdir, job_group="measured")
     return {
         "metric": "para_skew_task_balance",
         "value": round(hist["max"] / max(hist["p50"], 1), 2),

@@ -582,6 +582,15 @@ def load_kenlm_probing(path: str) -> KenLMProbingLM:
     it by default) to map text characters to word ids; the special-token
     ids are probed from the vocab table by their literal strings."""
     info = read_kenlm_header(path)
+    if not info["sane"]:
+        # KenLM's Sanity block exists precisely to catch ABI-incompatible
+        # binaries (endianness, struct packing); reading the payload
+        # anyway would decode silently into garbage probabilities.
+        raise ValueError(
+            f"KenLM binary {path!r} failed the Sanity reference-value "
+            "check (built on an ABI-incompatible platform?); rebuild the "
+            "binary on a little-endian host or convert to ARPA"
+        )
     if info["model_type"] != "PROBING":
         raise NotImplementedError(
             f"KenLM {info['model_type']} payload decode is not implemented "

@@ -15,10 +15,13 @@ Decode tiers:
   code construction, byte stuffing, restart markers, 4:2:0 replication
   upsampling) plus a matching encoder for deterministic fixtures.
   Progressive/arithmetic files raise NotImplementedError.
-- Audio/video mime types remain STUBBED (no ffmpeg in this container):
-  ``decode_image_batch`` raises NotImplementedError unless
-  ``deterministic_fake=True``, in which case undecodable payloads
-  produce a seeded fake feature vector derived from the binary's bytes —
+- Compressed audio/video codecs remain STUBBED (no ffmpeg in this
+  container): ``decode_image_batch`` raises NotImplementedError unless
+  ``deterministic_fake=True``, in which case every codec-gap payload
+  (unknown mime, progressive JPEG, ADPCM-in-RIFF, ...) produces a
+  seeded fake feature vector derived from the binary's bytes — MALFORMED
+  payloads still raise ValueError in both modes (corruption is an error,
+  not a codec gap) —
   the Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
   signature) is real and tested end-to-end while those codecs stay
   swappable.
@@ -467,6 +470,9 @@ def decode_gif_frames(data: bytes) -> list:
             if rows.max() >= len(table):
                 raise ValueError("GIF index outside color table")
             region = canvas[top:top + ih, left:left + iw]
+            # disposal 3 = restore-to-previous: the canvas must revert to
+            # its pre-frame state before the NEXT frame composites
+            prev_region = region.copy() if disposal == 3 else None
             painted = table[rows]
             if transparent is not None:
                 mask = rows != transparent
@@ -476,6 +482,8 @@ def decode_gif_frames(data: bytes) -> list:
             frames.append(canvas.copy())
             if disposal == 2 and gct is not None and bg < len(gct):
                 canvas[top:top + ih, left:left + iw] = gct[bg]
+            elif prev_region is not None:
+                canvas[top:top + ih, left:left + iw] = prev_region
             transparent = None
             disposal = 0
     except (IndexError, struct.error) as e:
@@ -588,7 +596,11 @@ def decode_wav(data: bytes):
         (clen,) = struct.unpack("<I", data[pos + 4: pos + 8])
         chunk = data[pos + 8: pos + 8 + clen]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if ch == 0:
+                raise ValueError("WAV fmt declares 0 channels")
             if tag == 0xFFFE and len(chunk) >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 (tag,) = struct.unpack("<H", chunk[24:26])
             fmt = (tag, ch, rate, bits)
@@ -985,6 +997,9 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1307,14 +1322,24 @@ def media_features(payload: bytes, deterministic_fake: bool = False) -> np.ndarr
     baseline JPEG signatures; the seeded fake only for mimes with no
     in-sandbox codec (audio/video), and only when allowed."""
     p = bytes(payload)
-    if p.startswith(PNG_SIGNATURE):
-        return png_features(p)
-    if p[:6] in GIF_SIGNATURES:
-        return gif_features(p)
-    if p.startswith(b"\xff\xd8"):
-        return jpeg_features(p)
-    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        return audio_features(p)
+    try:
+        if p.startswith(PNG_SIGNATURE):
+            return png_features(p)
+        if p[:6] in GIF_SIGNATURES:
+            return gif_features(p)
+        if p.startswith(b"\xff\xd8"):
+            return jpeg_features(p)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            return audio_features(p)
+    except NotImplementedError:
+        # a recognized container whose inner codec has no in-sandbox
+        # decoder (progressive JPEG, ADPCM-in-RIFF, ...): same class as
+        # unknown mimes — fake when allowed, loud otherwise. Malformed
+        # bytes (ValueError) always propagate; that is data corruption,
+        # not a codec gap.
+        if not deterministic_fake:
+            raise
+        return _fake_features(p)
     if not deterministic_fake:
         raise NotImplementedError(
             "only PNG, GIF, baseline JPEG and PCM WAV decode in this "

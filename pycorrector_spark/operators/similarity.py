@@ -345,6 +345,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     exact_limit: int = 200_000,
+    _probed: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -366,7 +367,9 @@ def cosine_near_dup_pairs(
     exact verify), or pass a larger exact_limit deliberately if the
     driver/executor memory genuinely holds the matrix.
     """
-    probe = df.limit(exact_limit + 1).count()
+    # _probed=True means the dispatcher already ran this exact probe —
+    # re-running it would recompute the full upstream lineage a second time
+    probe = 0 if _probed else df.limit(exact_limit + 1).count()
     if probe > exact_limit:
         raise ValueError(
             f"cosine_near_dup_pairs is the exact small-corpus baseline: "
@@ -538,9 +541,11 @@ def cosine_near_dup(
     n = df.limit(exact_limit + 1).count()
     if n <= exact_limit:
         # forward the caller's limit so the inner guard agrees with the
-        # dispatch decision (a raised exact_limit must reach the GEMM path)
+        # dispatch decision (a raised exact_limit must reach the GEMM
+        # path); _probed skips the inner guard's identical size probe
         return cosine_near_dup_pairs(
-            df, id_col, vec_col, threshold, exact_limit=exact_limit
+            df, id_col, vec_col, threshold, exact_limit=exact_limit,
+            _probed=True,
         )
     return cosine_near_dup_pairs_bucketed(df, id_col, vec_col, threshold, **lsh_kwargs)
 

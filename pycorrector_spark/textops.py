@@ -466,8 +466,6 @@ def pos_of_token(token: str, word_freq: dict,
     m, latin -> eng, symbol-only -> x, everything else (dict words and
     CJK OOV) -> n, jieba's majority tag. Deterministic, which is what
     the oracle checks."""
-    from .dicts import POS_TAGS_ZH
-
     if not token:
         return "x"
     if person_names and token in person_names:
@@ -744,7 +742,7 @@ def lang_id(text: str) -> tuple:
 # longest-match dict rewrite for multi-char phrase tables.
 # ---------------------------------------------------------------------------
 
-from .dicts import T2S_CHARS  # noqa: E402
+from .dicts import T2S_CHARS, POS_TAGS_ZH  # noqa: E402
 
 _T2S_TRANS = str.maketrans(T2S_CHARS)
 # inverse map; where several traditional chars share one simplified form

@@ -192,3 +192,34 @@ def test_frame_sample_real_frames(spark):
     for mid, idxs in by_media.items():
         assert len(idxs) == min(4, (truth[mid] + 1) // 2)
         assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))
+
+
+def test_animated_gif_disposal_restore_to_previous():
+    """GCE disposal=3 (restore-to-previous): the canvas must revert to
+    its pre-frame state before the NEXT frame composites — optimized
+    animations rely on this; treating it as 'leave in place' carries
+    stale pixels forward."""
+    import numpy as np
+
+    from pycorrector_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    f1 = np.full((4, 4), 1, dtype=np.uint8)   # all red
+    f2 = np.full((4, 4), 2, dtype=np.uint8)   # all green, disposal=3
+    f3 = np.zeros((4, 4), dtype=np.uint8)     # fully transparent
+    g = bytearray(encode_gif_animated([f1, f2, f3], pal))
+    first = g.find(b"\x21\xf9\x04")
+    second = g.find(b"\x21\xf9\x04", first + 1)
+    third = g.find(b"\x21\xf9\x04", second + 1)
+    g[second + 3] = (g[second + 3] & ~0x1C) | 0x0C  # frame 2: disposal 3
+    g[third + 3] |= 0x01                            # frame 3: transparent,
+    g[third + 6] = 0                                # index 0
+    out = decode_gif_frames(bytes(g))
+    assert len(out) == 3
+    # frame 2 itself shows green...
+    assert np.array_equal(out[1], np.full((4, 4, 3), [0, 200, 0], np.uint8))
+    # ...but frame 3 composites over the RESTORED post-frame-1 canvas
+    assert np.array_equal(out[2], np.full((4, 4, 3), [200, 0, 0], np.uint8))

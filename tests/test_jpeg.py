@@ -114,3 +114,13 @@ def test_media_rows_jpeg_payloads_really_decode():
         px = decode_jpeg(payload)
         assert px.shape == (h, w, 3)
     assert n_jpeg >= 8
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+    before a marker; some encoders emit them after SOI or before EOI."""
+    px = _smooth_rgb(16, 16, seed=3)
+    data = encode_jpeg(px)
+    base = decode_jpeg(data)
+    padded = data[:2] + b"\xff\xff" + data[2:-2] + b"\xff" + data[-2:]
+    assert np.array_equal(decode_jpeg(padded), base)

@@ -198,3 +198,34 @@ def test_kenlm_probing_oov_and_unk(lm, klm_path):
     oov = "\N{SNOWMAN}"
     assert np.all(m.encode(oov) == 0)
     assert np.isfinite(m.perplexity_chars(oov + "的"))
+
+
+def test_kenlm_insane_header_refuses_to_load(lm, tmp_path):
+    """A .klm whose Sanity reference values fail (ABI-incompatible
+    producer) must raise instead of decoding the payload into silent
+    garbage perplexities."""
+    import struct
+
+    from pycorrector_spark.lm.binary import (
+        load_kenlm_probing,
+        read_kenlm_header,
+        write_kenlm_probing,
+    )
+
+    p = tmp_path / "insane.klm"
+    write_kenlm_probing(lm, str(p))
+    raw = bytearray(p.read_bytes())
+    # locate the Sanity block's (0.0f, 1.0f, -0.5f) reference floats,
+    # then corrupt the u64 reference ONE that follows (float reads stay
+    # aligned, so the header still parses and reports sane=False)
+    pat = struct.pack("<fff", 0.0, 1.0, -0.5)
+    i = raw.find(pat)
+    assert i > 0
+    pos = i + len(pat) + 8          # skip one_word + max_word
+    pos += (-pos) % 8               # word-align like the reader
+    assert struct.unpack_from("<Q", raw, pos)[0] == 1
+    raw[pos] = 0x02
+    p.write_bytes(bytes(raw))
+    assert read_kenlm_header(str(p))["sane"] is False
+    with pytest.raises(ValueError, match="[Ss]anity"):
+        load_kenlm_probing(str(p))

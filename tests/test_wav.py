@@ -69,3 +69,36 @@ def test_media_features_routes_wav_for_real():
     samples, _ = decode_wav(payload)
     assert feats[0] == float(samples.shape[0])
     assert np.array_equal(feats, audio_features(payload))
+
+
+def test_malformed_fmt_raises_valueerror():
+    """0-channel or truncated fmt chunks are data corruption, not codec
+    gaps — the ValueError contract the other codecs enforce."""
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 16000, 2000, 1, 16)  # channels=0
+    data = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_wav(data)
+    short = struct.pack("<HH", 1, 1)  # fmt chunk cut off mid-struct
+    data2 = (b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+             + b"fmt " + struct.pack("<I", len(short)) + short
+             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_wav(data2)
+
+
+def test_codec_gap_falls_back_to_fake_when_allowed():
+    """A recognized RIFF/WAVE container with a compressed codec (ADPCM,
+    mp3) is a codec GAP: deterministic_fake=True must produce the seeded
+    fake vector instead of killing the batch; fake mode off still raises."""
+    from pycorrector_spark.operators.multimodal import _fake_features
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 2000, 1, 4)  # ADPCM tag
+    data = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError):
+        media_features(data, deterministic_fake=False)
+    feats = media_features(data, deterministic_fake=True)
+    assert np.array_equal(feats, _fake_features(data))
