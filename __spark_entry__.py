@@ -2021,6 +2021,30 @@ def q_url_filter(spark, sf_dir):
     return with_url_filter(docs).select("doc_id", "url", "norm_url", "host", "url_keep")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (RefinedWeb's first pass — re-crawls dominate raw
+    Common Crawl): ~3 crawls per page are synthesized (page identity =
+    doc_id DIV 3; crawl mess = scheme case / default port / utm position /
+    fragment keyed on doc_id), normalized, and the LATEST crawl per
+    canonical url wins. One map-side-combinable max(struct) hash agg —
+    no window, no sort; a page crawled millions of times collapses
+    per-partition before the shuffle."""
+    from pycorrector_spark.operators.htmlx import (
+        synth_recrawl_url_expr,
+        url_dedup_latest,
+    )
+
+    crawls = _docs(spark, sf_dir).select(
+        "doc_id",
+        synth_recrawl_url_expr(F.expr("doc_id DIV 3"), F.col("doc_id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id") * 17)
+        ).alias("warc_ts"),
+    )
+    return url_dedup_latest(crawls)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: capped Jaccard pairs -> alternating large/small
     star connected components -> (doc_id, rep, is_canonical). Same pair
@@ -2369,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         "qf_curation_e2e": q_curation_e2e,
+        "qf_url_dedup": q_url_dedup,
         "rel_shipping_priority": q_rel_shipping_priority,
         "rel_local_supplier": q_rel_local_supplier,
         # word_freq grew by COMMON_WORDS_ZH this round: every consumer of
@@ -3281,6 +3306,28 @@ def _htmlx_oracles() -> dict[str, str]:
         "qf_html_extract": html_extract,
         "qf_toxicity": toxicity,
         "qf_url_filter": url_filter,
+        "qf_url_dedup": f"""
+            WITH crawls AS (
+              SELECT doc_id,
+                     {H.synth_recrawl_url_sql("(doc_id // 3)", "doc_id")} AS url,
+                     TIMESTAMP '2026-01-01 00:00:00'
+                       + to_seconds(doc_id * 17) AS warc_ts
+              FROM documents
+            ), n AS (
+              SELECT doc_id, warc_ts, {H.normalize_url_sql("url")} AS norm_url
+              FROM crawls
+            ), ranked AS (
+              SELECT doc_id, norm_url, warc_ts,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY norm_url
+                       ORDER BY warc_ts DESC, doc_id DESC
+                     ) AS rn,
+                     COUNT(*) OVER (PARTITION BY norm_url) AS n_crawls
+              FROM n
+            )
+            SELECT doc_id, norm_url, warc_ts, n_crawls
+            FROM ranked WHERE rn = 1
+        """,
         "qf_web_pipeline": web_pipeline,
     }
 

@@ -89,6 +89,7 @@ def bench_queries():
         # round-5 additions (per-query r4 comparisons remain valid; the
         # headline total gains these entries)
         "qf_curation_e2e": q["qf_curation_e2e"],
+        "qf_url_dedup": q["qf_url_dedup"],
         "qf_lm_ppl_klm": q["qf_lm_ppl_klm"],
         "media_features": q["media_features"],
         "rel_bucketed_join": q["rel_bucketed_join"],

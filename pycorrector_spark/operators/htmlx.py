@@ -313,3 +313,82 @@ def with_url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("host", host)
         .withColumn("url_keep", ~host.isin(*BLOCKED_HOSTS))
     )
+
+
+def synth_recrawl_url_expr(page_id: Column, crawl_id: Column) -> Column:
+    """Messy RE-CRAWL url: the page identity (host, path, id param) is
+    keyed on ``page_id``; the crawl-to-crawl mess (scheme case, default
+    port, utm position, fragment) is keyed on ``crawl_id`` — so every
+    crawl of one page normalizes to the same canonical url, which is the
+    invariant url-level dedup exploits. Only normalization-removable
+    variation is applied (no extra non-utm params)."""
+    pid = page_id.cast("string")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in SYNTH_HOSTS]), (page_id % 5).cast("int") + 1
+    )
+    # case-only scheme variation (HTTPS vs https): varying the PROTOCOL
+    # would be a different resource, not a re-crawl
+    scheme = F.when(crawl_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    port = F.when(crawl_id % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    query = (
+        F.when(crawl_id % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), pid))
+        .when(crawl_id % 4 == 1, F.concat(F.lit("?id="), pid, F.lit("&utm_campaign=x")))
+        .when(crawl_id % 4 == 2, F.concat(F.lit("?id="), pid, F.lit("&utm_medium=cpc")))
+        .otherwise(F.concat(F.lit("?id="), pid))
+    )
+    frag = F.when(crawl_id % 5 == 0, F.lit("#section2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, F.lit("/p/"), pid, query, frag)
+
+
+def synth_recrawl_url_sql(page_id: str, crawl_id: str) -> str:
+    hosts = "[" + ", ".join("'" + h + "'" for h in SYNTH_HOSTS) + "]"
+    p = f"CAST({page_id} AS VARCHAR)"
+    return (
+        f"(CASE WHEN {crawl_id} % 2 = 0 THEN 'HTTPS' ELSE 'https' END"
+        f" || '://' || list_extract({hosts}, CAST({page_id} % 5 AS INT) + 1)"
+        f" || CASE WHEN {crawl_id} % 3 = 0 THEN ':443' ELSE '' END"
+        f" || '/p/' || {p}"
+        f" || CASE WHEN {crawl_id} % 4 = 0 THEN '?utm_source=feed&id=' || {p}"
+        f"         WHEN {crawl_id} % 4 = 1 THEN '?id=' || {p} || '&utm_campaign=x'"
+        f"         WHEN {crawl_id} % 4 = 2 THEN '?id=' || {p} || '&utm_medium=cpc'"
+        f"         ELSE '?id=' || {p} END"
+        f" || CASE WHEN {crawl_id} % 5 = 0 THEN '#section2' ELSE '' END)"
+    )
+
+
+def url_dedup_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: keep the LATEST crawl per canonical url
+    (RefinedWeb/CCNet run this before any text dedup — re-crawls of one
+    page dominate raw Common Crawl).
+
+    Scale shape: winner-join, all primitive-typed hash aggregations —
+    ``max(struct(ts, id))`` would be exact in one pass but structs are
+    not mutable hash-agg buffer types (SortAggregate), and a single
+    packed BIGINT cannot hold (micros ts, 10^12-range id) exactly. So:
+    (1) hash-agg max(ts) + count per norm_url (map-side combinable — a
+    page re-crawled millions of times collapses per partition before the
+    shuffle), (2) same-key join back (exchange-reused partitioning) and
+    a second hash agg taking max(id) among the max-ts rows, which is the
+    deterministic tie-break. No window, no sort aggregate. Returns
+    (id, norm_url, ts, n_crawls)."""
+    norm = normalize_url_expr(F.col(url_col))
+    base = df.select(norm.alias("norm_url"), F.col(ts_col), F.col(id_col))
+    tops = base.groupBy("norm_url").agg(
+        F.max(ts_col).alias("_ts_max"), F.count("*").alias("n_crawls")
+    )
+    return (
+        base.join(tops, "norm_url")
+        .where(F.col(ts_col) == F.col("_ts_max"))
+        .groupBy("norm_url")
+        .agg(
+            F.max(id_col).alias(id_col),
+            F.max(ts_col).alias(ts_col),
+            F.max("n_crawls").alias("n_crawls"),
+        )
+        .select(id_col, "norm_url", ts_col, "n_crawls")
+    )

@@ -153,3 +153,41 @@ def test_web_pipeline_precedence_and_contract(spark):
         if r.doc_id % 5 in (2, 4):
             assert r.drop_reason == "url"
         assert "utm_" not in r.norm_url and "#" not in r.norm_url
+
+
+def test_url_dedup_latest_keeps_newest_crawl(spark):
+    """url_dedup_latest: 3 synthesized crawls of one page collapse to one
+    row carrying the LATEST warc_ts; ties break toward the larger id; the
+    plan is a hash aggregation (no window, no SortAggregate)."""
+    from pyspark.sql import functions as F
+
+    from pycorrector_spark.operators.htmlx import (
+        synth_recrawl_url_expr,
+        url_dedup_latest,
+    )
+
+    crawls = spark.range(9).select(
+        F.col("id").alias("doc_id"),
+        synth_recrawl_url_expr(F.expr("id DIV 3"), F.col("id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id") * 17)
+        ).alias("warc_ts"),
+    )
+    out = url_dedup_latest(crawls)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan and "Window" not in plan
+    rows = {r.norm_url: r for r in out.collect()}
+    assert len(rows) == 3                       # 9 crawls -> 3 pages
+    for r in rows.values():
+        assert r.n_crawls == 3
+        assert r.doc_id % 3 == 2                # latest crawl of its page
+        assert "utm_" not in r.norm_url and ":443" not in r.norm_url
+        assert r.norm_url.startswith("https://")
+
+    # tie on warc_ts -> larger doc_id wins, deterministically
+    tied = spark.createDataFrame(
+        [(1, "https://a/x"), (2, "https://a/x")], "doc_id long, url string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    (w,) = url_dedup_latest(tied).collect()
+    assert w.doc_id == 2 and w.n_crawls == 2
