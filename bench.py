@@ -250,7 +250,11 @@ def run_suite(sf_dir: str, cpus: int, only: list = None) -> dict:
         # per-query throughput for document-table queries (docs/sec over
         # the sf corpus); rel_*/ann_*/zh_*/en_*/media_*/stream_* read
         # other tables (TPC-H, embeddings, sentence pools, fixture
-        # media), so a docs/s figure would be meaningless for them
+        # media), so a docs/s figure would be meaningless for them.
+        # NOTE: pool-text queries that remain (qf_lm_ppl*, qf_fix_encoding)
+        # map every doc_id onto a finite sentence pool — one scored row
+        # per document, so docs/s is rows-scored-per-second (comparable
+        # across sf), while the TEXT domain stays fixed by design
         "queries_docs_per_sec": {
             name: round(n_docs / sec, 1)
             for name, sec in timings.items()
